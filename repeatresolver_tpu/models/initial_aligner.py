@@ -1,0 +1,194 @@
+"""Template-anchored initial MSA.
+
+Re-architecture of InitialAligner.c: the per-thread full DP matrices
+(IntoAligner, InitialAligner.c:282-453) become batched wavefront DP with
+move codes on the accelerator + lockstep host backtracking; Building_MSA
+(:553-663) is reproduced exactly, including its two load-bearing quirks:
+
+* Gapcount is accumulated over ALL sequences — also the ones later
+  excluded as class 'l' (error >= cutoff) — so garbage alignments of
+  flank pieces widen the MSA (loop at :575 has no error filter).
+* A leading run of unaligned bases is counted into Gapcount at the
+  first aligned base's column (:580-582) but EMITTED at slot 0
+  (:617-624); if it exceeds Gapcount[0] the row becomes ragged — which
+  downstream readers abort on. Reproduced bit-for-bit (the fallback
+  emitter handles the spill).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import InitialAlignerConfig
+from ..ops import editdp
+
+GAP = 4
+
+
+@dataclass
+class InitialMSAResult:
+    msa: np.ndarray | None        # int8 [rows_r, width]; None if ragged
+    rows: list[np.ndarray]        # every emitted row (class 'r'), int8
+    seqclass: list[str]           # 'r'/'l' per input seq
+    errors: np.ndarray            # AlignmentError per seq (NaN possible)
+    alignments: list[np.ndarray]  # per seq: template col per base or -1
+    gapcount: np.ndarray          # int32 [T+1]
+
+
+def align_all(template: np.ndarray, seqs: list[np.ndarray],
+              batch_size: int = 16) -> tuple[list[np.ndarray], np.ndarray]:
+    """IntoAligner over all seqs: alignments + error rates."""
+    tlen = len(template)
+    n = len(seqs)
+    errors = np.full(n, np.nan)
+    alignments: list[np.ndarray] = [np.empty(0, np.int32)] * n
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    # Length-sorted batches; pad every batch to fixed bucket shapes so
+    # XLA compiles once per bucket, not once per batch.
+    def bucket(x: int) -> int:
+        b = 256
+        while b < x:
+            b *= 2
+        return b
+
+    for lo in range(0, n, batch_size):
+        idxs = order[lo:lo + batch_size]
+        lens_real = np.array([len(seqs[i]) for i in idxs], np.int32)
+        lq = bucket(max(1, int(lens_real.max())))
+        q = np.full((batch_size, lq), 100, np.int16)
+        lens = np.zeros(batch_size, np.int32)
+        lens[:len(idxs)] = lens_real
+        for r, i in enumerate(idxs):
+            q[r, :lens_real[r]] = seqs[i]
+        codes, fr = editdp.align_with_codes(
+            q, lens, template.astype(np.int16))
+        codes = np.asarray(codes)
+        fr = np.asarray(fr)
+        entries = np.array([editdp.entry_column(fr[r])
+                            for r in range(len(idxs))], np.int64)
+        aligned = editdp.backtrack_batch(
+            codes[:len(idxs)], lens_real,
+            entries)
+        for r, i in enumerate(idxs):
+            nl = int(lens_real[r])
+            if nl == 0:
+                errors[i] = np.nan
+                alignments[i] = np.empty(0, np.int32)
+            else:
+                errors[i] = fr[r, entries[r]] / nl
+                alignments[i] = aligned[r, :nl].copy()
+    return alignments, errors
+
+
+def compute_gapcount(alignments: list[np.ndarray],
+                     tlen: int) -> np.ndarray:
+    """Building_MSA:571-597. Leading runs attribute to the first aligned
+    base's column; later runs to (previous col + 1)."""
+    gapcount = np.zeros(tlen + 1, np.int64)
+    for a in alignments:
+        if len(a) == 0:
+            continue
+        placed = np.nonzero(a >= 0)[0]
+        if placed.size == 0:
+            raise AssertionError(
+                "sequence with no aligned base: reference behavior is "
+                "undefined (OOB scan, InitialAligner.c:581)")
+        first = placed[0]
+        # run lengths between placed bases
+        prev_end = -1
+        slot = int(a[first])           # leading-run slot
+        for p in placed:
+            run = p - prev_end - 1
+            if run > 0 and run > gapcount[slot]:
+                gapcount[slot] = run
+            slot = int(a[p]) + 1
+            prev_end = p
+        run = len(a) - prev_end - 1    # trailing run
+        if run > 0 and run > gapcount[slot]:
+            gapcount[slot] = run
+    return gapcount
+
+
+def emit_row(seq: np.ndarray, a: np.ndarray, gapcount: np.ndarray,
+             tlen: int) -> np.ndarray:
+    """Building_MSA:612-641 emission for one class-'r' row (int8 codes;
+    4 = '-'). Handles leading-run spill producing a ragged row, exactly
+    like the reference."""
+    n = len(seq)
+    placed = np.nonzero(a >= 0)[0] if n else np.empty(0, np.int64)
+    width = int(tlen + 1 + gapcount.sum())
+    if n == 0:
+        return np.full(width, GAP, np.int8)
+    first = int(placed[0]) if placed.size else n
+    leading = first  # bases before the first aligned base
+    if leading <= gapcount[0]:
+        # Common case: fully regular row, vectorized fill.
+        out = np.full(width, GAP, np.int8)
+        gap_end = np.cumsum(gapcount)          # end of slot i's gap region
+        base_pos = gap_end + np.arange(tlen + 1)  # slot i's base cell
+        gap_start = base_pos - gapcount
+        if placed.size:
+            cols = a[placed]
+            out[base_pos[cols]] = seq[placed]
+            # runs after each placed base -> slot col+1 (or the last
+            # pseudo-slot tlen), left-aligned in its gap region
+            bounds = np.concatenate([placed, [n]])
+            for k in range(placed.size):
+                run = int(bounds[k + 1]) - int(placed[k]) - 1
+                if run:
+                    slot = int(a[placed[k]]) + 1
+                    s = gap_start[slot]
+                    out[s:s + run] = seq[placed[k] + 1:placed[k] + 1 + run]
+        if leading:
+            out[0:leading] = seq[:leading]
+        return out
+    # Spill: literal reference emission (ragged row).
+    out = []
+    k = 0
+    for i in range(tlen + 1):
+        count = 0
+        while k < n and a[k] == -1:
+            out.append(int(seq[k]))
+            k += 1
+            count += 1
+        out.extend([GAP] * max(0, int(gapcount[i]) - count))
+        if k < n and a[k] == i:
+            out.append(int(seq[k]))
+            k += 1
+        else:
+            out.append(GAP)
+    return np.array(out, np.int8)
+
+
+def build_initial_msa(template: np.ndarray, seqs: list[np.ndarray],
+                      cfg: InitialAlignerConfig,
+                      batch_size: int = 16) -> InitialMSAResult:
+    tlen = len(template)
+    alignments, errors = align_all(template, seqs, batch_size=batch_size)
+    gapcount = compute_gapcount(
+        [a for a in alignments if len(a)], tlen)
+    rows: list[np.ndarray] = []
+    seqclass: list[str] = []
+    for seq, a, err in zip(seqs, alignments, errors):
+        if err < cfg.error_cutoff:  # NaN compares False, like C
+            seqclass.append("r")
+            rows.append(emit_row(np.asarray(seq), a, gapcount, tlen))
+        else:
+            seqclass.append("l")
+    widths = {len(r) for r in rows}
+    msa = np.stack(rows).astype(np.int8) if len(widths) == 1 and rows \
+        else None
+    return InitialMSAResult(msa=msa, rows=rows, seqclass=seqclass,
+                            errors=errors, alignments=alignments,
+                            gapcount=gapcount.astype(np.int32))
+
+
+def write_outputs(res: InitialMSAResult, msa_path, seqclass_path) -> None:
+    from ..utils import io as rio
+    with open(msa_path, "wb") as f:
+        for row in res.rows:
+            f.write(rio.CODE2BASE[row].tobytes() + b"\n")
+    with open(seqclass_path, "w") as f:
+        for c in res.seqclass:
+            f.write(c + "\n")

@@ -1,0 +1,339 @@
+"""Sum-of-pairs MSA refinement — the reference's PW_ReAligner bottleneck.
+
+Dense-array re-architecture of PW_ReAligner.c. The linked list of Column
+structs becomes an int8[rows, cols] matrix plus an int64[cols, 6] symbol
+histogram `counts`; the weighted consensus w_con of the reference is a
+derived view:
+
+    nonspace(y) = sum(counts[y, 0:5])
+    Score(y, b) = w_con[y][b] = nonspace(y) - counts[y, b]   (b < 5)
+    Score(y, 5) = nonspace(y)                                 (coverage)
+
+This module holds the REFERENCE-EXACT serial engine (`RealignEngine`,
+Gauss-Seidel row sweeps, used for golden parity and as the semantic
+oracle). The batched TPU path lives in ops/banded_realign.py and
+reuses this module's bookkeeping.
+
+Key reference semantics reproduced (PW_ReAligner.c):
+  * banded DP with band centered on the row's current column path
+    (Matrix_Filler :1469-1531); off-band-above reads pay the gap cost
+    per skipped column, flat for the last seq position (MatrixOut
+    :249-303)
+  * column-insertion cost max(Score(y,5), Score(y-1,5)) — quirk Q6
+  * backtrack move priority: gap, trailing-space, diagonal, column
+    insertion (Backtracker :1334-1454); entry column = min over the
+    final row scanned descending (ties -> largest y)
+  * Column_Adder neighbor rule: other rows get ' ' next to a coverage
+    gap, else '-' (:1299-1317)
+  * zero-base columns are deleted before every row realignment (W_Con
+    :706-763 via Matrix_Filler :1478)
+  * EntAlGapper start/end: leading/trailing '-' -> ' ', then empty
+    column removal (:459-645)
+  * convergence: first round without improvement of the (mille, uno)
+    score pair; best MSA checkpointed every improving round
+    (main :1681-1747)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import RealignerConfig
+
+HUGE = np.int64(1) << 40
+
+
+def symbol_counts(msa: np.ndarray) -> np.ndarray:
+    """int64[cols, 6] histogram of symbols per column."""
+    r, c = msa.shape
+    counts = np.zeros((c, 6), np.int64)
+    for s in range(6):
+        counts[:, s] = (msa == s).sum(axis=0)
+    return counts
+
+
+def overall_score_pair(counts: np.ndarray) -> tuple[int, int]:
+    """The (scoreMille, scoreUno) pair of OverallScorePrint
+    (PW_ReAligner.c:933-963), including its '>1000000' carry quirk.
+
+    Row scores are accumulated per row: sum over nonspace cells of
+    Score(col, sym). Equivalently per column: sum_b counts[b] *
+    (nonspace - counts[b]) for b in 0..4 — but the carry loop runs per
+    ROW, so we reproduce the row accumulation.
+    """
+    ns = counts[:, 0:5].sum(axis=1)
+    # per-column total over all rows
+    col_total = (counts[:, 0:5] * (ns[:, None] - counts[:, 0:5])).sum()
+    return _carry_pair(int(col_total))
+
+
+def _carry_pair(total: int) -> tuple[int, int]:
+    return total // 1000000, total % 1000000
+
+
+def row_score(msa: np.ndarray, counts: np.ndarray, k: int) -> int:
+    row = msa[k]
+    ns = counts[:, 0:5].sum(axis=1)
+    m = row < 5
+    cols = np.nonzero(m)[0]
+    return int((ns[cols] - counts[cols, row[cols]]).sum())
+
+
+@dataclass
+class RealignEngine:
+    """Reference-exact serial realigner over dense arrays."""
+    msa: np.ndarray                  # int8 [R, C], mutated in place-ish
+    bandwidth: int = 1000
+    counts: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.msa = np.ascontiguousarray(self.msa, dtype=np.int8)
+        self.counts = symbol_counts(self.msa)
+
+    # ------------------------------------------------------ maintenance
+
+    def ent_al_gapper(self) -> int:
+        """EntAlGapper: leading/trailing '-' -> ' ' per row, then drop
+        zero-base columns. Returns number of converted cells."""
+        msa = self.msa
+        base = msa < 4
+        any_base = base.any(axis=1)
+        first = np.where(any_base, base.argmax(axis=1), msa.shape[1])
+        last = np.where(any_base,
+                        msa.shape[1] - 1 - base[:, ::-1].argmax(axis=1),
+                        -1)
+        cols = np.arange(msa.shape[1])[None, :]
+        outside = (cols < first[:, None]) | (cols > last[:, None])
+        conv = outside & (msa == 4)
+        msa[conv] = 5
+        self._drop_empty_columns()
+        self.counts = symbol_counts(self.msa)
+        return int(conv.sum())
+
+    def _drop_empty_columns(self) -> None:
+        keep = (self.msa < 4).any(axis=0)
+        if not keep.all():
+            self.msa = np.ascontiguousarray(self.msa[:, keep])
+            self.counts = symbol_counts(self.msa)
+
+    # ------------------------------------------------------ row realign
+
+    def realign_row(self, k: int) -> int:
+        """Matrix_Filler(k) + Backtracker(k). Returns the row's new
+        banded-DP score (the reference's return value)."""
+        self._drop_empty_columns()          # W_Con
+        msa, counts = self.msa, self.counts
+        c = msa.shape[1]
+        row_old = msa[k].copy()
+        basepos = np.nonzero(row_old < 4)[0]        # TheWay: Way[x]
+        seq = row_old[basepos].astype(np.int64)     # Seq_Bases
+        length = len(basepos)
+        # Columns_Downdater + Base_Downdater (before the length check,
+        # like the reference: an empty row is removed and stays blank).
+        np.subtract.at(counts, (np.arange(c), row_old.astype(np.int64)),
+                       1)
+        msa[k] = 5
+        if length == 0:
+            return 0
+
+        ns = counts[:, 0:5].sum(axis=1)
+        gapcost = ns - counts[:, 4]                  # Score(y, 4)
+        subcost = ns[:, None] - counts[:, 0:4]       # Score(y, base)
+        inscost = np.empty(c, np.int64)              # max(S(y,5),S(y-1,5))
+        inscost[0] = ns[0]
+        if c > 1:
+            inscost[1:] = np.maximum(ns[1:], ns[:-1])
+        gp = np.concatenate([[0], np.cumsum(gapcost)])  # gp[y+1]=sum<=y
+
+        bw = self.bandwidth
+        bh = bw // 2
+        anf = np.maximum(0, basepos - bh)
+        end = np.minimum(c, anf + bw)
+
+        m = np.full((length, bw), HUGE, np.int64)
+
+        def read_prev(x: int, ys: np.ndarray) -> np.ndarray:
+            """MatrixOut(x, ys) for a previous row x (vectorized),
+            x >= 0, may include ys == -1 / off-band."""
+            a, e = int(anf[x]), int(end[x])
+            top = a + bw - 1
+            out = np.full(len(ys), HUGE, np.int64)
+            inband = (ys >= a) & (ys < e)
+            out[inband] = m[x, ys[inband] - a]
+            above = ys > top
+            if above.any():
+                # jump: M[x][top] + sum of gap costs (top, y]
+                yy = ys[above]
+                out[above] = m[x, bw - 1] + (gp[yy + 1] - gp[top + 1])
+            # ys < a (incl. -1) stay HUGE
+            return out
+
+        for x in range(length):
+            a, e = int(anf[x]), int(end[x])
+            ys = np.arange(a, e)
+            b = int(seq[x])
+            if x == 0:
+                # MatrixOut(-1, ·) = 0 for every y (PW_ReAligner.c:256)
+                diag = subcost[ys, b]
+                ups = inscost[ys].astype(np.int64)
+            else:
+                diag = read_prev(x - 1, ys - 1) + subcost[ys, b]
+                ups = read_prev(x - 1, ys) + inscost[ys]
+            ok_ins = (ys > 0) & (ys < c - 1)
+            av = np.where(ok_ins, np.minimum(diag, ups), diag)
+            # left relaxation: M[y] = min(A[y], M[y-1] + gapcost[y])
+            rel = np.minimum.accumulate(av - gp[ys + 1]) + gp[ys + 1]
+            m[x, :len(ys)] = rel
+            if len(ys) < bw:
+                m[x, len(ys):] = HUGE
+
+        return self._backtrack(k, length, basepos, seq, anf,
+                               m, gapcost, subcost, inscost, gp)
+
+    def _read_m(self, x, y, length, anf, m, gp):
+        """MatrixOut for the backtracker (scalar)."""
+        if x == -1:
+            return 0
+        if y == -1:
+            return int(HUGE)
+        a = int(anf[x])
+        bw = self.bandwidth
+        if y - a < 0:
+            return int(HUGE)
+        if y - a > bw - 1:
+            if x == length - 1:
+                return int(m[x, bw - 1])
+            return int(m[x, bw - 1] + (gp[y + 1] - gp[a + bw]))
+        return int(m[x, y - a])
+
+    def _backtrack(self, k, length, basepos, seq, anf, m,
+                   gapcost, subcost, inscost, gp) -> int:
+        msa, counts = self.msa, self.counts
+        c = msa.shape[1]
+        bh = self.bandwidth // 2
+
+        def place(y: int, sym: int) -> None:
+            counts[y, sym] += 1
+            msa[k, y] = sym
+
+        # entry scan (Backtracker :1352-1360)
+        x = length - 1
+        bound = max(-1, int(basepos[x]) - bh)
+        best = self._read_m(x, c - 1, length, anf, m, gp)
+        wayin = c - 1
+        y = c - 1
+        while y > bound:
+            v = self._read_m(x, y, length, anf, m, gp)
+            if v < best:
+                best = v
+                wayin = y
+            y -= 1
+        for y in range(c - 1, wayin, -1):
+            place(y, 5)
+        y = wayin
+
+        inserts: list[tuple[int, int]] = []  # (logical y, base) pending
+        while x > -1 and y > -1:
+            mxy = self._read_m(x, y, length, anf, m, gp)
+            left = self._read_m(x, y - 1, length, anf, m, gp)
+            if mxy == left + int(gapcost[y]):
+                place(y, 5 if x == length - 1 else 4)
+                y -= 1
+            elif mxy == left and x == length - 1:
+                place(y, 5)
+                y -= 1
+            elif mxy == self._read_m(x - 1, y - 1, length, anf, m, gp) \
+                    + int(subcost[y, int(seq[x])]):
+                place(y, int(seq[x]))
+                x -= 1
+                y -= 1
+            elif y > 0 and mxy == self._read_m(x - 1, y, length, anf,
+                                               m, gp) + int(inscost[y]):
+                inserts.append((y, int(seq[x])))
+                x -= 1
+            else:
+                raise AssertionError(
+                    f"backtrack dead end at x={x} y={y} (row {k})")
+        while y > -1:
+            place(y, 5)
+            y -= 1
+
+        # Apply column insertions. They were discovered right-to-left;
+        # all inserts at the same y chain before each other exactly like
+        # repeated Column_Adder calls after the same Present_Column.
+        # Applying in DISCOVERY order at fixed logical y reproduces the
+        # reference: each new column lands directly after y, pushing
+        # previously inserted ones right.
+        if inserts:
+            self._apply_inserts(k, inserts)
+        return int(best)
+
+    def _apply_inserts(self, k: int, inserts: list[tuple[int, int]]):
+        msa = self.msa
+        r = msa.shape[0]
+        # Process in discovery order; because inserts were discovered at
+        # strictly non-increasing y, inserting at position y+1 never
+        # shifts the logical index of a LATER (smaller-y) insert.
+        cur = msa
+        for (y, base) in inserts:
+            col = np.full(r, 4, np.int8)
+            if y == cur.shape[1] - 1:
+                col[:] = 5                       # after Last_Column
+            else:
+                nxt = cur[:, y + 1]
+                prv = cur[:, y]
+                col[(nxt == 5) | (prv == 5)] = 5
+            col[k] = base
+            cur = np.insert(cur, y + 1, col, axis=1)
+        self.msa = cur
+        self.counts = symbol_counts(cur)
+
+    # ---------------------------------------------------------- driver
+
+    def overall_pair(self) -> tuple[int, int]:
+        self._drop_empty_columns()
+        return overall_score_pair(self.counts)
+
+
+def realign(msa: np.ndarray, cfg: RealignerConfig,
+            out_path=None, score_log: list | None = None) -> np.ndarray:
+    """The reference main loop (PW_ReAligner.c:1610-1759), serial mode.
+
+    Returns the best MSA (also written to out_path per improving round
+    when given, reproducing the reference's checkpoint-every-improving-
+    round semantics)."""
+    from ..utils import io as rio
+
+    eng = RealignEngine(msa, bandwidth=cfg.bandwidth)
+    eng.ent_al_gapper()
+    best = (1 << 62, 0)
+    best_msa = None
+
+    def check_improved(write=True):
+        nonlocal best, best_msa
+        pair = eng.overall_pair()
+        if score_log is not None:
+            score_log.append(pair)
+        if pair < best:
+            best = pair
+            best_msa = eng.msa.copy()
+            if write and out_path is not None:
+                rio.write_msa(out_path, best_msa, upper=True)
+            return True
+        return False
+
+    # The reference prints (and records best) before round 1 but only
+    # writes the output after an improving ROUND (main :1741).
+    check_improved(write=False)
+    rounds = 0
+    while rounds < cfg.max_rounds:
+        for k in range(eng.msa.shape[0]):
+            eng.realign_row(k)
+        rounds += 1
+        if not check_improved():
+            break
+    eng.ent_al_gapper()
+    if check_improved():
+        pass
+    return best_msa if best_msa is not None else eng.msa

@@ -5,8 +5,9 @@ import os
 import subprocess
 import sys
 
-# Must happen before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax import. Force CPU: the session env presets
+# JAX_PLATFORMS=axon (one real TPU chip) which tests must not depend on.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
