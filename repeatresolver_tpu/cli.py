@@ -1,0 +1,191 @@
+"""Command-line interface mirroring the five reference tools plus a
+pipeline driver.
+
+    python -m repeatresolver_tpu.cli simulate -c 40 -n 100 -d 1 -l 30000 -t Tree
+    python -m repeatresolver_tpu.cli cut      <Template.fasta> <reads.fasta> [-p 60 -e 0.30]
+    python -m repeatresolver_tpu.cli align    <Template.fasta> <Seq.fasta> [-e 0.30]
+    python -m repeatresolver_tpu.cli realign  <MSA> [-o MSAreal -b 1000]
+    python -m repeatresolver_tpu.cli maxcorr  <MSAreal> [-c 30]
+    python -m repeatresolver_tpu.cli window   <MSAreal> [-c 0.90 -p 6]
+    python -m repeatresolver_tpu.cli resolve  <MSAreal> -f von bis [-c 30]
+    python -m repeatresolver_tpu.cli pipeline [-c 40 -n 100 ...] -w workdir
+
+Flags keep the reference names where they exist (SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="repeatresolver_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate")
+    s.add_argument("-c", type=int, default=40, help="coverage")
+    s.add_argument("-n", type=int, default=100, help="copynumber")
+    s.add_argument("-d", type=float, default=1.0, help="difference %")
+    s.add_argument("-l", type=int, default=30000, help="repeat length")
+    s.add_argument("-t", default="Tree",
+                   choices=["Tree", "Distributed", "EquiDistant"])
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--outdir", default=".")
+
+    s = sub.add_parser("cut")
+    s.add_argument("template")
+    s.add_argument("reads")
+    s.add_argument("-p", type=int, default=60, help="parts")
+    s.add_argument("-l", type=int, default=0, help="overlap")
+    s.add_argument("-e", type=float, default=0.30)
+    s.add_argument("-w", type=int, default=150)
+    s.add_argument("-o", default=None)
+    s.add_argument("-r", default=None)
+
+    s = sub.add_parser("align")
+    s.add_argument("template")
+    s.add_argument("seqs")
+    s.add_argument("-e", type=float, default=0.30)
+    s.add_argument("-o", default=None)
+    s.add_argument("-s", default=None)
+
+    s = sub.add_parser("realign")
+    s.add_argument("msa")
+    s.add_argument("-o", default="MSAreal")
+    s.add_argument("-b", type=int, default=1000)
+
+    s = sub.add_parser("maxcorr")
+    s.add_argument("msa")
+    s.add_argument("-c", type=int, default=30)
+    s.add_argument("-p", type=int, default=1, help="(ignored; parallel)")
+
+    s = sub.add_parser("window")
+    s.add_argument("msa")
+    s.add_argument("-c", type=float, default=0.90)
+    s.add_argument("-p", type=int, default=6)
+
+    s = sub.add_parser("resolve")
+    s.add_argument("msa")
+    s.add_argument("-f", nargs=2, type=int, required=True,
+                   metavar=("VON", "BIS"))
+    s.add_argument("-c", type=int, default=30)
+    s.add_argument("-t", type=float, default=0.0)
+
+    s = sub.add_parser("assess")
+    s.add_argument("dataset_dir")
+    s.add_argument("resolution_dir")
+
+    s = sub.add_parser("pipeline")
+    s.add_argument("-c", type=int, default=40)
+    s.add_argument("-n", type=int, default=100)
+    s.add_argument("-d", type=float, default=1.0)
+    s.add_argument("-l", type=int, default=30000)
+    s.add_argument("-t", default="Tree")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("-w", "--workdir", default="run")
+    s.add_argument("-b", type=int, default=1000, help="realign band")
+
+    args = p.parse_args(argv)
+    from .config import (InitialAlignerConfig, MaxCorrConfig,
+                         PipelineConfig, ReadCutterConfig,
+                         RealignerConfig, ResolverConfig,
+                         SimulatorConfig, WindowConfig)
+    from .utils import io as rio
+
+    if args.cmd == "simulate":
+        from .models.simulator import simulate
+        cfg = SimulatorConfig(coverage=args.c, copynumber=args.n,
+                              difference=args.d / 100.0,
+                              repeatlength=args.l, structure=args.t,
+                              seed=args.seed)
+        ds = simulate(cfg)
+        paths = ds.write(args.outdir)
+        print(f"dataset {ds.name}: {len(ds.reads)} reads")
+        for k, v in paths.items():
+            print(f"  {k}: {v}")
+
+    elif args.cmd == "cut":
+        from .models.read_cutter import cut_reads
+        template = rio.read_template(args.template).astype(np.int16)
+        reads = [r.astype(np.int16) for r in rio.read_fasta(args.reads)]
+        cfg = ReadCutterConfig(parts=args.p, overlap=args.l,
+                               error_cutoff=args.e, wiggleroom=args.w)
+        res = cut_reads(template, reads, cfg)
+        d = rio.derived_paths(args.template)
+        out = args.o or d["seq_fasta"]
+        rinfo = args.r or d["readseqinfo"]
+        rio.write_fasta(out, res.pieces, line_width=None)
+        rio.write_readseqinfo(rinfo, res.seqs_per_read)
+        print(f"{len(res.pieces)} pieces -> {out}")
+
+    elif args.cmd == "align":
+        from .models.initial_aligner import build_initial_msa, \
+            write_outputs
+        template = rio.read_template(args.template).astype(np.int16)
+        seqs = [s.astype(np.int16) for s in rio.read_fasta(args.seqs)]
+        res = build_initial_msa(template, seqs,
+                                InitialAlignerConfig(error_cutoff=args.e))
+        d = rio.derived_paths(args.template)
+        out = args.o or d["msa"]
+        scp = args.s or d["seqclass"]
+        write_outputs(res, out, scp)
+        print(f"{len(res.rows)} rows -> {out}")
+
+    elif args.cmd == "realign":
+        from .models.realigner import realign
+        msa = rio.read_msa(args.msa)
+        log: list = []
+        realign(msa, RealignerConfig(bandwidth=args.b),
+                out_path=args.o, score_log=log)
+        for i, (m, u) in enumerate(log):
+            print(f"OverallScore: {m}{u:06d}")
+        print(f"-> {args.o}")
+
+    elif args.cmd == "maxcorr":
+        from .models.maxcorr import run
+        run(args.msa, MaxCorrConfig(mincov=args.c))
+        print(f"-> {rio.maxcorrs_path(args.msa)}")
+
+    elif args.cmd == "window":
+        from .models.window import window_boundaries
+        msa = rio.read_msa(args.msa)
+        bounds = window_boundaries(msa, WindowConfig(coverage=args.c,
+                                                     parts=args.p))
+        print(" ".join(str(b) for b in bounds))
+
+    elif args.cmd == "resolve":
+        from .models.resolver import run
+        von, bis = args.f
+        run(args.msa, von, bis, ResolverConfig(cov=args.c,
+                                               cutoff=args.t))
+        for kind in ("Dropoff", "RelDrop", "Kmeans"):
+            print(f"-> {rio.subdivision_path(kind, von, bis, args.msa)}")
+
+    elif args.cmd == "assess":
+        from .models.assessment import assess_directory
+        singles, multi = assess_directory(args.dataset_dir,
+                                          args.resolution_dir)
+        for q in singles:
+            print(f"truepositives {q.truepositives}, falsepositives "
+                  f"{q.falsepositives} bei cutoff 0.0.")
+        print(f"MultiStep: tp={multi.truepositives} "
+              f"fp={multi.falsepositives}")
+
+    elif args.cmd == "pipeline":
+        from .pipeline import run_pipeline
+        cfg = PipelineConfig(
+            simulator=SimulatorConfig(coverage=args.c, copynumber=args.n,
+                                      difference=args.d / 100.0,
+                                      repeatlength=args.l,
+                                      structure=args.t, seed=args.seed),
+            realigner=RealignerConfig(bandwidth=args.b))
+        run_pipeline(cfg, args.workdir)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""Per-(column,symbol) maximum correlation significance (MaxCorrs).
+
+Re-architecture of MaxCorrelation.c. The reference's row bitsets +
+popcount loops become dense one-hot matrices whose intersections are
+matrix products (|A∩B| = binary inner product — MXU work on TPU); the
+hypergeometric tail is the vectorized log-space implementation in
+ops/hypergeom.py.
+
+Reproduced semantics (the reference DEFAULT path is the threaded variant
+Parallel_AllMaxCorrsRechner, used even with -p 1):
+  * seed gates: mincov/4 < |G| < maxgroup AND majority-deviation filter
+    baseno > Coverage/2 (MaxCorrelation.c:798-802); partner gate is the
+    size gate only (:817)
+  * partners at column distance >= 20, scanned ascending with a hard
+    break at the first jj whose shared coverage with ii drops below
+    mincov (:804-810) — later columns are skipped even if their shared
+    coverage recovers
+  * Z = PositiveSignificance with coverage-intersected gr1/gr2 and the
+    98 -> 98+F1 cap (:421-434); MaxCorrs is the elementwise max over
+    both sides of each ordered pair (:822-823)
+  * the threaded variant computes but never applies the count<5
+    suppression of the serial variant (:629-634) — so neither do we
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import MaxCorrConfig
+from ..ops import hypergeom as hg
+
+
+def group_matrices(msa: np.ndarray):
+    """One-hot views: groups [C*5, R] float32, coverage [C, R] float32,
+    sizes [C, 5], covcount [C]."""
+    msa = np.asarray(msa)
+    r, c = msa.shape
+    groups = np.zeros((c, 5, r), np.float32)
+    for s in range(5):
+        groups[:, s, :] = (msa.T == s)
+    coverage = (msa.T < 5).astype(np.float32)      # [C, R]
+    sizes = groups.sum(axis=2).astype(np.int64)    # [C, 5]
+    covcount = coverage.sum(axis=1).astype(np.int64)
+    return groups.reshape(c * 5, r), coverage, sizes, covcount
+
+
+def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
+                     tile: int = 256,
+                     matmul=np.matmul) -> np.ndarray:
+    """MaxCorrs for a full MSA -> float64 [C*5]."""
+    msa = np.asarray(msa)
+    r, c = msa.shape
+    signumber = r
+    mincov = cfg.mincov
+    maxgroup = signumber
+    groups, coverage, sizes, covcount = group_matrices(msa)
+    sizes_flat = sizes.reshape(-1)
+
+    baseno = sizes[:, 0:4].sum(axis=1)
+    size_ok = (sizes_flat > mincov // 4) & (sizes_flat < maxgroup)
+    seed_ok = size_ok.reshape(c, 5).copy()
+    if cfg.majority_filter:
+        seed_ok &= (baseno > covcount // 2)[:, None]
+    partner_ok = size_ok.reshape(c, 5)
+
+    maxcorrs = np.zeros(c * 5, np.float64)
+    gap = cfg.min_col_gap
+
+    for i0 in range(0, c, tile):
+        i1 = min(c, i0 + tile)
+        ti = i1 - i0
+        seed_cols = seed_ok[i0:i1].any(axis=1)
+        alive = seed_cols.copy()      # not yet hit the coverage break
+        if not seed_cols.any():
+            continue
+        gi = groups[i0 * 5:i1 * 5]                  # [ti*5, R]
+        ci = coverage[i0:i1]                        # [ti, R]
+        for j0 in range(i0, c, tile):
+            if not alive.any():
+                break
+            j1 = min(c, j0 + tile)
+            tj = j1 - j0
+            cj = coverage[j0:j1]
+            shared = matmul(ci, cj.T).astype(np.int64)   # [ti, tj]
+            ii = np.arange(i0, i1)[:, None]
+            jj = np.arange(j0, j1)[None, :]
+            valid = jj >= ii + gap
+            fail = valid & (shared < mincov)
+            cumfail = np.logical_or.accumulate(fail, axis=1)
+            allowed = valid & alive[:, None] & ~cumfail
+            alive &= ~cumfail[:, -1]
+            if not allowed.any():
+                continue
+            gj = groups[j0 * 5:j1 * 5]
+            schnitt = matmul(gi, gj.T).astype(np.int64)  # [ti*5, tj*5]
+            gr1 = matmul(gi, cj.T).astype(np.int64)      # [ti*5, tj]
+            gr2 = matmul(ci, gj.T).astype(np.int64)      # [ti, tj*5]
+
+            pair_ok = (allowed[:, None, :, None]
+                       & seed_ok[i0:i1][:, :, None, None]
+                       & partner_ok[j0:j1][None, None, :, :])
+            pi, pk, pj, pkk = np.nonzero(pair_ok)
+            if pi.size == 0:
+                continue
+            s_ = schnitt[pi * 5 + pk, pj * 5 + pkk]
+            g1 = gr1[pi * 5 + pk, pj]
+            g2 = gr2[pi, pj * 5 + pkk]
+            cv = shared[pi, pj]
+            sz1 = sizes_flat[(pi + i0) * 5 + pk]
+            sz2 = sizes_flat[(pj + j0) * 5 + pkk]
+            z = hg.positive_significance(s_, g1, g2, cv, sz1, sz2)
+            gi_idx = (pi + i0) * 5 + pk
+            gj_idx = (pj + j0) * 5 + pkk
+            np.maximum.at(maxcorrs, gi_idx, z)
+            np.maximum.at(maxcorrs, gj_idx, z)
+    return maxcorrs
+
+
+def run(msa_path: str, cfg: MaxCorrConfig, out_path: str | None = None,
+        **kw) -> np.ndarray:
+    """CLI-equivalent: MSA file in, MaxCorrsOf_<path> out."""
+    from ..utils import io as rio
+    msa = rio.read_msa(msa_path)
+    mc = compute_maxcorrs(msa, cfg, **kw)
+    if out_path is None:
+        out_path = rio.maxcorrs_path(msa_path)
+    rio.write_maxcorrs(out_path, mc)
+    return mc

@@ -1,0 +1,185 @@
+"""Log-space hypergeometric / binomial tails.
+
+Replaces the reference's GSL calls (MaxCorrelation.c:413-419,455-469,
+489-493) with vectorized float64 log-space sums — the same formulation as
+tests/golden/gsl_shim.c, so golden outputs and this module agree to well
+below the %f print precision of the MaxCorrs files.
+
+Parameter convention follows the reference call sites:
+    PositiveCumHypGeo_Log(schnitt, gr1, gr2, cov)
+      = -log10 P[X >= schnitt],  X ~ HG(N=cov, K=gr2, n=gr1)
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gammaln
+
+LOG10 = np.log(10.0)
+
+
+def _log_binom(n, k):
+    return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+
+
+def _hyg_logpmf(j, K, n, N):
+    return (_log_binom(K, j) + _log_binom(N - K, n - j)
+            - _log_binom(N, n))
+
+
+def _series_logsum(lo, hi, K, n, N):
+    """log of sum_{j=lo..hi} pmf(j), elementwise over arrays.
+
+    Iterates with the pmf ratio recurrence; all inputs are float64
+    arrays of equal shape. Elements with lo > hi yield -inf.
+    """
+    lo = lo.astype(np.float64)
+    hi = hi.astype(np.float64)
+    active = lo <= hi
+    l = np.where(active, _hyg_logpmf(np.minimum(lo, hi), K, n, N),
+                 -np.inf)
+    m = l.copy()                     # running max (log reference)
+    s = np.where(active, 1.0, 0.0)   # sum scaled by exp(-m)
+    j = lo.copy()
+    it = 0
+    max_iter = int(np.max(hi - lo)) + 1 if active.any() else 0
+    while True:
+        it += 1
+        nxt = j + 1
+        active = active & (nxt <= hi)
+        if not active.any() or it > max_iter:
+            break
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logr = (np.log(np.maximum(K - j, 0.0))
+                    + np.log(np.maximum(n - j, 0.0))
+                    - np.log(nxt)
+                    - np.log(np.maximum(N - K - n + nxt, 1e-300)))
+        l2 = l + logr
+        upd = active
+        # rescale accumulate
+        bigger = upd & (l2 > m)
+        s = np.where(bigger, s * np.exp(m - l2) + 1.0,
+                     np.where(upd, s + np.exp(l2 - m), s))
+        m = np.where(bigger, l2, m)
+        l = np.where(upd, l2, l)
+        j = np.where(upd, nxt, j)
+        # early exit: all remaining terms decreasing and negligible
+        if not active.any():
+            break
+        dec = l2 - m < -40.0
+        with np.errstate(invalid="ignore"):
+            shrinking = logr < -1e-12
+        if np.all(~active | (dec & shrinking)):
+            break
+    with np.errstate(divide="ignore"):
+        return m + np.log(s)
+
+
+def hyp_q(k, n1, n2, t):
+    """gsl_cdf_hypergeometric_Q(k; n1, n2, t) = P[X > k], X drawn t from
+    n1 successes + n2 failures. Vectorized float64."""
+    k = np.asarray(k, np.float64)
+    n1 = np.asarray(n1, np.float64)
+    n2 = np.asarray(n2, np.float64)
+    t = np.asarray(t, np.float64)
+    k, n1, n2, t = np.broadcast_arrays(k, n1, n2, t)
+    kmin = np.maximum(t - n2, 0.0)
+    kmax = np.minimum(n1, t)
+    lo = k + 1.0
+    out = np.zeros(k.shape, np.float64)
+    full = lo <= kmin
+    some = (~full) & (lo <= kmax)
+    out[full] = 1.0
+    if some.any():
+        ls = _series_logsum(lo[some], kmax[some], n1[some] + 0.0,
+                            t[some], n1[some] + n2[some])
+        out[some] = np.minimum(np.exp(ls), 1.0)
+    return out
+
+
+def hyp_p(k, n1, n2, t):
+    """gsl_cdf_hypergeometric_P(k; n1, n2, t) = P[X <= k]."""
+    k = np.asarray(k, np.float64)
+    n1 = np.asarray(n1, np.float64)
+    n2 = np.asarray(n2, np.float64)
+    t = np.asarray(t, np.float64)
+    k, n1, n2, t = np.broadcast_arrays(k, n1, n2, t)
+    kmin = np.maximum(t - n2, 0.0)
+    kmax = np.minimum(n1, t)
+    hi = np.minimum(k, kmax)
+    out = np.zeros(k.shape, np.float64)
+    full = k >= kmax
+    some = (~full) & (hi >= kmin)
+    out[full] = 1.0
+    if some.any():
+        ls = _series_logsum(kmin[some], hi[some], n1[some] + 0.0,
+                            t[some], n1[some] + n2[some])
+        out[some] = np.minimum(np.exp(ls), 1.0)
+    return out
+
+
+def binom_q(k, p, n):
+    """gsl_cdf_binomial_Q(k; p, n) = P[X > k], X ~ Binomial(n, p)."""
+    k = int(k)
+    n = int(n)
+    if k >= n:
+        return 0.0
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    j = np.arange(k + 1, n + 1, dtype=np.float64)
+    lp = (_log_binom(float(n), j) + j * np.log(p)
+          + (n - j) * np.log1p(-p))
+    m = lp.max()
+    return float(min(np.exp(m) * np.exp(lp - m).sum(), 1.0))
+
+
+# ------------------------------------------------------- reference wrappers
+
+def positive_cum_hyp_geo_log(schnitt, gr1, gr2, cov):
+    """MaxCorrelation.c:413-419: -log10 Q(schnitt-1; gr2, cov-gr2, gr1),
+    capped at 99. Vectorized."""
+    q = hyp_q(np.asarray(schnitt) - 1, gr2,
+              np.asarray(cov) - np.asarray(gr2), gr1)
+    with np.errstate(divide="ignore"):
+        z = -np.log10(q)
+    return np.where(np.isinf(z) | (z > 99.0), 99.0, z)
+
+
+def f_beta(schnitt, size1, size2, beta=1.0):
+    """MaxCorrelation.c:396-411 on raw group sizes."""
+    schnitt = np.asarray(schnitt, np.float64)
+    g1n2 = np.asarray(size1, np.float64) - schnitt
+    g2n1 = np.asarray(size2, np.float64) - schnitt
+    z = (1.0 + beta) * schnitt
+    denom = (1 + beta * beta) * schnitt + beta * beta * g1n2 + g2n1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(z < 0.0001, 0.0, z / denom)
+    return r
+
+
+def positive_significance(schnitt, gr1, gr2, cov, size1, size2,
+                          cap_base=98.0):
+    """PositiveSignificance (MaxCorrelation.c:421-434): 0 for empty
+    gr1/gr2 or schnitt<1; cap Z>98 -> cap_base + F1 (Group_ variant
+    uses cap_base=97.90, RepeatResolver.c:486)."""
+    schnitt = np.asarray(schnitt)
+    z = positive_cum_hyp_geo_log(schnitt, gr1, gr2, cov)
+    capped = np.isinf(z) | (z > 98.0)
+    z = np.where(capped, cap_base + f_beta(schnitt, size1, size2), z)
+    zero = (np.asarray(gr1) == 0) | (np.asarray(gr2) == 0) | (schnitt < 1)
+    return np.where(zero, 0.0, z)
+
+
+def cum_hyp_geo_log(schnitt, gr1, gr2, cov):
+    """Two-sided variant (MaxCorrelation.c:455-469), capped at 99."""
+    schnitt = np.asarray(schnitt)
+    gr2a = np.asarray(gr2)
+    cov = np.asarray(cov)
+    pp = hyp_p(schnitt, gr2a, cov - gr2a, gr1)
+    pq = hyp_q(schnitt - 1, gr2a, cov - gr2a, gr1)
+    use_p = (pp < pq) | (schnitt == 0)
+    chosen = np.where(use_p, pp, pq)
+    with np.errstate(divide="ignore"):
+        z = -np.log10(chosen)
+    return np.where(np.isinf(z) | (z > 99.0), 99.0, z)

@@ -1,0 +1,65 @@
+"""Golden parity of MaxCorrs vs the compiled reference MaxCorrelation
+(linked against our GSL shim) on a synthetic MSA with planted
+correlations."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from repeatresolver_tpu.config import MaxCorrConfig
+from repeatresolver_tpu.models import maxcorr
+from repeatresolver_tpu.utils import io as rio
+
+
+@pytest.fixture(scope="module")
+def planted_msa(tmp_path_factory):
+    """60 rows over 2 copy groups; group-distinguishing SNP columns
+    well over 20 apart, plus noise, gaps, and ragged coverage."""
+    rng = np.random.default_rng(5)
+    rows, cols = 60, 400
+    consensus = rng.integers(0, 4, cols)
+    msa = np.tile(consensus, (rows, 1)).astype(np.int8)
+    group = np.arange(rows) % 2
+    snp_cols = [50, 90, 140, 200, 260, 330]
+    for cc in snp_cols:
+        alt = (consensus[cc] + 1) % 4
+        msa[group == 1, cc] = alt
+    noise = rng.random((rows, cols)) < 0.02
+    msa[noise] = rng.integers(0, 4, noise.sum())
+    gaps = rng.random((rows, cols)) < 0.03
+    msa[gaps] = 4
+    # ragged coverage at the ends
+    for rr in range(rows):
+        lo = rng.integers(0, 25)
+        hi = cols - rng.integers(0, 25)
+        msa[rr, :lo] = 5
+        msa[rr, hi:] = 5
+    d = tmp_path_factory.mktemp("mcmsa")
+    path = os.path.join(d, "MSAreal_x")
+    rio.write_msa(path, msa, upper=True)
+    return str(d), path, msa
+
+
+def test_maxcorrs_golden(reference_bins, planted_msa):
+    d, path, msa = planted_msa
+    subprocess.run(
+        [str(reference_bins / "MaxCorrelation"), "MSAreal_x",
+         "-c", "20", "-p", "1"],
+        cwd=d, check=True, capture_output=True)
+    c_vals = rio.read_maxcorrs(os.path.join(d, "MaxCorrsOf_MSAreal_x"))
+
+    mine = maxcorr.compute_maxcorrs(msa, MaxCorrConfig(mincov=20))
+    assert mine.shape == c_vals.shape
+    # %f prints 6 decimals; assert well within that.
+    np.testing.assert_allclose(mine, c_vals, atol=2e-6)
+    # sanity: the planted SNP columns carry big significance
+    col_max = mine.reshape(-1, 5).max(axis=1)
+    assert (col_max[[50, 90, 140, 200, 260, 330]] > 10).all()
+
+
+def test_maxcorrs_tiling_invariance(planted_msa):
+    _, _, msa = planted_msa
+    a = maxcorr.compute_maxcorrs(msa, MaxCorrConfig(mincov=20), tile=64)
+    b = maxcorr.compute_maxcorrs(msa, MaxCorrConfig(mincov=20), tile=512)
+    np.testing.assert_array_equal(a, b)
