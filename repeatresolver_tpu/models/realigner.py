@@ -296,6 +296,175 @@ class RealignEngine:
         return overall_score_pair(self.counts)
 
 
+class BatchedRealigner:
+    """Device-backed realigner: banded DP + backtrack on the accelerator
+    (ops/banded_realign.py), block-level apply on host.
+
+    block_rows=1 reproduces the serial/reference Gauss-Seidel trajectory
+    exactly; larger blocks are block-Jacobi (each row's DP sees the
+    sweep-start histogram minus its own contribution), which changes the
+    trajectory but keeps the same best-checkpoint convergence contract.
+    """
+
+    def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
+                 block_rows: int = 8):
+        self.msa = np.ascontiguousarray(msa, dtype=np.int8)
+        self.counts = symbol_counts(self.msa)
+        self.bandwidth = bandwidth
+        self.block_rows = block_rows
+
+    def ent_al_gapper(self):
+        eng = RealignEngine.__new__(RealignEngine)
+        eng.msa = self.msa
+        eng.bandwidth = self.bandwidth
+        eng.counts = self.counts
+        eng.ent_al_gapper()
+        self.msa, self.counts = eng.msa, eng.counts
+
+    def _drop_empty(self):
+        keep = (self.msa < 4).any(axis=0)
+        if not keep.all():
+            self.msa = np.ascontiguousarray(self.msa[:, keep])
+            self.counts = np.ascontiguousarray(self.counts[keep])
+
+    def overall_pair(self):
+        self._drop_empty()
+        return overall_score_pair(self.counts)
+
+    def sweep(self) -> None:
+        from ..ops import banded_realign as br
+        r = self.msa.shape[0]
+        bs = self.block_rows
+        for k0 in range(0, r, bs):
+            rows = list(range(k0, min(r, k0 + bs)))
+            self._drop_empty()
+            self._realign_block(rows, br)
+
+    def _realign_block(self, rows: list[int], br) -> None:
+        msa, counts = self.msa, self.counts
+        c = msa.shape[1]
+        bs = len(rows)
+        rows_old = msa[rows]                          # [B, C] snapshot
+        lengths = np.zeros(bs, np.int32)
+        seq_list, way_list = [], []
+        for b, k in enumerate(rows):
+            pos = np.nonzero(rows_old[b] < 4)[0]
+            lengths[b] = len(pos)
+            way_list.append(pos.astype(np.int32))
+            seq_list.append(rows_old[b][pos])
+        lmax = max(1, int(lengths.max()))
+
+        # pad L and C to buckets so XLA compiles once per bucket combo
+        def bucket(x, base=256):
+            v = base
+            while v < x:
+                v *= 2
+            return v
+
+        lpad = bucket(lmax)
+        cpad = bucket(c, 512)
+        seqs = np.zeros((bs, lpad), np.int8)
+        ways = np.zeros((bs, lpad), np.int32)
+        for b in range(bs):
+            seqs[b, :lengths[b]] = seq_list[b]
+            ways[b, :lengths[b]] = way_list[b]
+            if lengths[b] and lengths[b] < lpad:
+                ways[b, lengths[b]:] = way_list[b][-1]
+        counts_p = np.zeros((cpad, 6), np.int32)
+        counts_p[:c] = counts
+        rows_p = np.full((bs, cpad), 5, np.int8)
+        rows_p[:, :c] = rows_old
+
+        codes, fband, fanf = br.banded_fill(
+            counts_p, rows_p, seqs, ways, lengths, np.int32(c),
+            bandwidth=self.bandwidth)
+        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+            codes, fband, fanf, seqs, ways, lengths, np.int32(c),
+            cpad=cpad, bandwidth=self.bandwidth)
+        new_rows = np.asarray(new_rows)[:, :c]
+        iy = np.asarray(iy)
+        ib = np.asarray(ib)
+        inn = np.asarray(inn)
+        if (inn >= br.MAX_INSERTS).any():
+            raise RuntimeError("insert buffer overflow; raise "
+                               "MAX_INSERTS or use the serial engine")
+
+        # block apply: replace rows, update counts incrementally
+        for b, k in enumerate(rows):
+            old = msa[k]
+            new = new_rows[b]
+            np.subtract.at(counts, (np.arange(c), old.astype(np.int64)),
+                           1)
+            np.add.at(counts, (np.arange(c), new.astype(np.int64)), 1)
+            msa[k] = new
+        # inserts: each is its own column (reference semantics); fills
+        # for other rows use the post-placement neighbor rule, which for
+        # chained same-gap inserts equals the reference's chained rule.
+        all_ins = []  # (gap, order, row, base)
+        for b, k in enumerate(rows):
+            n = int(inn[b])
+            for o in range(n):
+                all_ins.append((int(iy[b, o]), b, o, k, int(ib[b, o])))
+        if all_ins:
+            # reference order at one gap: reverse discovery within a row
+            all_ins.sort(key=lambda t: (t[0], t[1], -t[2]))
+            r_all = msa.shape[0]
+            positions = []
+            cols = []
+            for gap, _b, _o, k, base in all_ins:
+                col = np.full(r_all, 4, np.int8)
+                if gap == c - 1:
+                    col[:] = 5
+                else:
+                    nxt = msa[:, gap + 1]
+                    prv = msa[:, gap]
+                    col[(nxt == 5) | (prv == 5)] = 5
+                col[k] = base
+                positions.append(gap + 1)
+                cols.append(col)
+            self.msa = np.insert(msa, positions, np.stack(cols).T,
+                                 axis=1)
+            self.counts = symbol_counts(self.msa)
+
+
+def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
+                    out_path=None, score_log: list | None = None,
+                    block_rows: int | None = None) -> np.ndarray:
+    """Main loop with the device engine; same convergence contract as
+    realign()."""
+    from ..utils import io as rio
+
+    eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
+                           block_rows=block_rows or cfg.block_rows)
+    eng.ent_al_gapper()
+    best = (1 << 62, 0)
+    best_msa = None
+
+    def check_improved(write=True):
+        nonlocal best, best_msa
+        pair = eng.overall_pair()
+        if score_log is not None:
+            score_log.append(pair)
+        if pair < best:
+            best = pair
+            best_msa = eng.msa.copy()
+            if write and out_path is not None:
+                rio.write_msa(out_path, best_msa, upper=True)
+            return True
+        return False
+
+    check_improved(write=False)
+    rounds = 0
+    while rounds < cfg.max_rounds:
+        eng.sweep()
+        rounds += 1
+        if not check_improved():
+            break
+    eng.ent_al_gapper()
+    check_improved()
+    return best_msa if best_msa is not None else eng.msa
+
+
 def realign(msa: np.ndarray, cfg: RealignerConfig,
             out_path=None, score_log: list | None = None) -> np.ndarray:
     """The reference main loop (PW_ReAligner.c:1610-1759), serial mode.

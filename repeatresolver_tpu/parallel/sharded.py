@@ -1,0 +1,134 @@
+"""Multi-chip sharding of the pipeline's two heavy phases.
+
+The reference's only parallelism is single-node pthreads (SURVEY.md
+§2.3). The TPU-native equivalents:
+
+  * realignment sweeps: rows data-parallel over the mesh 'rows' axis,
+    column histogram replicated; after each block the one-hot count
+    deltas are psum'd over ICI — the collective analogue of the
+    reference's disjoint-stripe thread writes.
+  * MaxCorrs: columns sharded; each device computes significance for
+    its seed-column shard against the full group matrix; the final
+    elementwise max over devices mirrors the reference's thread merge
+    (MaxCorrelation.c:881-891) as a pmax.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..ops import banded_realign as br
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        # virtual CPU mesh (xla_force_host_platform_device_count)
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), ("rows",))
+
+
+def sharded_realign_step(mesh: Mesh, ncols: int, bandwidth: int):
+    """One data-parallel realignment block step: banded DP + backtrack
+    per row shard, counts delta psum'd over the mesh.
+
+    Returns a jitted fn(counts, rows_old, seqs, ways, lengths) ->
+    (new_rows [R, C], new_counts [C, 6]).
+    """
+
+    def local_step(counts, rows_old, seqs, ways, lengths):
+        codes, fband, fanf = br.banded_fill(
+            counts, rows_old, seqs, ways, lengths,
+            jnp.int32(ncols), bandwidth=bandwidth)
+        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+            codes, fband, fanf, seqs, ways, lengths, jnp.int32(ncols),
+            cpad=rows_old.shape[1], bandwidth=bandwidth)
+
+        def hist(rows):
+            return (rows[:, :, None] ==
+                    jnp.arange(6, dtype=rows.dtype)[None, None, :]
+                    ).sum(axis=0).astype(jnp.int32)
+
+        delta = hist(new_rows) - hist(rows_old)
+        delta = jax.lax.psum(delta, "rows")
+        return new_rows, counts + delta, best
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P("rows"), P("rows"), P("rows"), P("rows")),
+        out_specs=(P("rows"), P(), P("rows")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_maxcorr_scores(mesh: Mesh):
+    """Column-sharded group-intersection scores: each device holds a
+    shard of seed groups, matmuls against the replicated full group
+    matrix (MXU), and the global per-group max merges with a pmax.
+
+    Returns jitted fn(groups_shard [C5/n, R], groups_full [C5, R],
+    coverage_full [C, R]) -> (schnitt [C5/n, C5], global_max scalar).
+    """
+
+    def local(groups_shard, groups_full):
+        schnitt = jnp.dot(groups_shard, groups_full.T,
+                          preferred_element_type=jnp.float32)
+        gmax = jax.lax.pmax(schnitt.max(), "rows")
+        return schnitt, gmax
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("rows"), P()),
+        out_specs=(P("rows"), P()))
+    return jax.jit(fn)
+
+
+def dryrun(n_devices: int, bandwidth: int = 128) -> None:
+    """Compile + execute one full sharded step on tiny shapes."""
+    mesh = make_mesh(n_devices)
+    rng = np.random.default_rng(0)
+    rows_per_dev = 2
+    r = n_devices * rows_per_dev
+    c, l, w = 512, 256, bandwidth
+    msa = np.full((r, c), 5, np.int8)
+    for k in range(r):
+        seg = rng.integers(0, 4, c - 40).astype(np.int8)
+        gaps = rng.random(c - 40) < 0.1
+        seg[gaps] = 4
+        msa[k, 20:c - 20] = seg
+    counts = np.zeros((c, 6), np.int32)
+    for s in range(6):
+        counts[:, s] = (msa == s).sum(axis=0)
+    lengths = np.zeros(r, np.int32)
+    seqs = np.zeros((r, l), np.int8)
+    ways = np.zeros((r, l), np.int32)
+    for k in range(r):
+        pos = np.nonzero(msa[k] < 4)[0][:l]
+        lengths[k] = len(pos)
+        seqs[k, :len(pos)] = msa[k][pos]
+        ways[k, :len(pos)] = pos
+        if len(pos) < l:
+            ways[k, len(pos):] = pos[-1] if len(pos) else 0
+
+    step = sharded_realign_step(mesh, ncols=c, bandwidth=w)
+    new_rows, new_counts, best = step(counts, msa, seqs, ways, lengths)
+    new_rows.block_until_ready()
+    assert new_rows.shape == (r, c)
+    assert new_counts.shape == (c, 6)
+
+    # column-sharded MaxCorr intersections
+    c5 = 128 * n_devices
+    groups = (rng.random((c5, r)) < 0.3).astype(np.float32)
+    mm = sharded_maxcorr_scores(mesh)
+    schnitt, gmax = mm(groups, groups)
+    schnitt.block_until_ready()
+    assert schnitt.shape == (c5, c5)

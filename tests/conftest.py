@@ -5,8 +5,11 @@ import os
 import subprocess
 import sys
 
-# Must happen before any jax import. Force CPU: the session env presets
-# JAX_PLATFORMS=axon (one real TPU chip) which tests must not depend on.
+# Force CPU with a virtual 8-device mesh. The axon sitecustomize
+# force-registers the TPU plugin and resets jax_platforms to
+# "axon,cpu" on import, so the env var alone is not enough — the
+# config must be re-updated after the jax import (before backend
+# init).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
@@ -14,6 +17,10 @@ if "host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
