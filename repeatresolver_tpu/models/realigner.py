@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import numpy as np
 
 from ..config import RealignerConfig
@@ -296,6 +298,16 @@ class RealignEngine:
         return overall_score_pair(self.counts)
 
 
+def validate_counts(msa: np.ndarray, counts: np.ndarray) -> None:
+    """The W_Con_Checker invariant (PW_ReAligner.c:765-859): the
+    incremental histogram must equal a from-scratch recount."""
+    fresh = symbol_counts(msa)
+    if not np.array_equal(fresh, counts):
+        bad = np.nonzero((fresh != counts).any(axis=1))[0]
+        raise AssertionError(
+            f"count invariant violated at columns {bad[:10].tolist()}")
+
+
 class BatchedRealigner:
     """Device-backed realigner: banded DP + backtrack on the accelerator
     (ops/banded_realign.py), block-level apply on host.
@@ -429,16 +441,35 @@ class BatchedRealigner:
 
 def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     out_path=None, score_log: list | None = None,
-                    block_rows: int | None = None) -> np.ndarray:
+                    block_rows: int | None = None,
+                    checkpoint_path: str | None = None,
+                    resume: bool = False,
+                    stats: dict | None = None,
+                    validate: bool = False) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
-    realign()."""
+    realign(). With checkpoint_path, state is saved atomically per
+    improving round (the reference's best-MSA-per-round semantics,
+    PW_ReAligner.c:1741) and resume=True restarts from it."""
+    import time
+
+    from ..utils import checkpoint as ckpt
     from ..utils import io as rio
+
+    start_round = 0
+    best = (1 << 62, 0)
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        c = ckpt.RealignCheckpoint.load(checkpoint_path)
+        msa = c.msa
+        start_round = c.round
+        best = (c.best_mille, c.best_uno)
 
     eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
                            block_rows=block_rows or cfg.block_rows)
     eng.ent_al_gapper()
-    best = (1 << 62, 0)
     best_msa = None
+    rounds = start_round
+    t0 = time.perf_counter()
+    cells = 0
 
     def check_improved(write=True):
         nonlocal best, best_msa
@@ -450,18 +481,29 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             best_msa = eng.msa.copy()
             if write and out_path is not None:
                 rio.write_msa(out_path, best_msa, upper=True)
+            if write and checkpoint_path is not None:
+                ckpt.RealignCheckpoint(
+                    msa=eng.msa, round=rounds, best_mille=best[0],
+                    best_uno=best[1],
+                    bandwidth=cfg.bandwidth).save(checkpoint_path)
             return True
         return False
 
     check_improved(write=False)
-    rounds = 0
     while rounds < cfg.max_rounds:
+        cells += int((eng.msa < 4).sum()) * cfg.bandwidth
         eng.sweep()
         rounds += 1
+        if validate:
+            validate_counts(eng.msa, eng.counts)
         if not check_improved():
             break
     eng.ent_al_gapper()
     check_improved()
+    if stats is not None:
+        dt = time.perf_counter() - t0
+        stats.update(rounds=rounds, wall_s=dt, dp_cells=cells,
+                     cells_per_s=cells / dt if dt > 0 else 0.0)
     return best_msa if best_msa is not None else eng.msa
 
 

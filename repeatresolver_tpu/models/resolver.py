@@ -423,8 +423,11 @@ def _grmatch_matrix(a: np.ndarray, b: np.ndarray, sc: int) -> np.ndarray:
 
 
 def kmeans(gd: GroupData, u: np.ndarray, u_no: int, vars_: list[int],
-           mingroup: int) -> int:
-    """Kmeans (:2604-2821), literal simulation. Mutates u."""
+           mingroup: int, use_native: bool = True) -> int:
+    """Kmeans (:2604-2821), literal simulation (native C++ when
+    available — same order-dependent semantics). Mutates u."""
+    from ..utils import native
+
     varzahl = len(vars_)
     members = np.nonzero(u == u_no)[0]
     anzahl = len(members)
@@ -439,54 +442,69 @@ def kmeans(gd: GroupData, u: np.ndarray, u_no: int, vars_: list[int],
     score_m = _grmatch_matrix(varsigs, varsigs, sc)
 
     # top-5 slot machine per row (:2656-2703)
-    centroids = np.zeros((anzahl, varzahl), bool)
-    for i in range(anzahl):
-        bs = [0] * 5
-        bj = [0] * 5
-        row = score_m[i]
-        for j in range(anzahl):
-            # ascending selection pass
-            for k in range(5):
-                for l in range(k + 1, 5):
-                    if bs[l] < bs[k]:
-                        bs[k], bs[l] = bs[l], bs[k]
-                        bj[k], bj[l] = bj[l], bj[k]
-            s = int(row[j])
-            if s > bs[0]:
-                bs[0] = s
-                bj[0] = j
-        if varzahl:
-            sel = varsigs[bj]                  # [5, varzahl]
-            centroids[i] = sel.sum(axis=0) > 2
+    centroids = None
+    if use_native:
+        cent = native.kmeans_top5_centroids(score_m,
+                                            varsigs.astype(np.uint8))
+        if cent is not None:
+            centroids = cent.astype(bool)
+    if centroids is None:
+        centroids = np.zeros((anzahl, varzahl), bool)
+        for i in range(anzahl):
+            bs = [0] * 5
+            bj = [0] * 5
+            row = score_m[i]
+            for j in range(anzahl):
+                # ascending selection pass
+                for k in range(5):
+                    for l in range(k + 1, 5):
+                        if bs[l] < bs[k]:
+                            bs[k], bs[l] = bs[l], bs[k]
+                            bj[k], bj[l] = bj[l], bj[k]
+                s = int(row[j])
+                if s > bs[0]:
+                    bs[0] = s
+                    bj[0] = j
+            if varzahl:
+                sel = varsigs[bj]              # [5, varzahl]
+                centroids[i] = sel.sum(axis=0) > 2
     cent_scores = _grmatch_matrix(centroids, varsigs, sc)
 
-    clusternumber = np.zeros(anzahl, np.int64)
-    clustersize = np.zeros(anzahl, np.int64)
-    for i in range(anzahl):
-        best_s, best_j = 0, 0
-        col = cent_scores[:, i]
-        for j in range(anzahl):
-            if int(col[j]) > best_s and i != j:
-                best_s = int(col[j])
-                best_j = j
-        clusternumber[i] = best_j
-        clustersize[best_j] += 1
-
-    for mn in range(2, mingroup):
+    clusternumber = None
+    if use_native:
+        cn = native.kmeans_assign_dissolve(cent_scores, mingroup)
+        if cn is not None:
+            clusternumber = cn.astype(np.int64)
+    if clusternumber is None:
+        clusternumber = np.zeros(anzahl, np.int64)
+        clustersize = np.zeros(anzahl, np.int64)
         for i in range(anzahl):
-            if clustersize[clusternumber[i]] <= mn:
-                best_s, best_j = 0, 0
-                col = cent_scores[:, i]
-                for j in range(anzahl):
-                    if clustersize[j] >= mn and clusternumber[i] != j \
-                            and int(col[j]) > best_s and i != j:
-                        best_s = int(col[j])
-                        best_j = j
-                clustersize[clusternumber[i]] -= 1
-                clusternumber[i] = best_j
-                clustersize[best_j] += 1
+            best_s, best_j = 0, 0
+            col = cent_scores[:, i]
+            for j in range(anzahl):
+                if int(col[j]) > best_s and i != j:
+                    best_s = int(col[j])
+                    best_j = j
+            clusternumber[i] = best_j
+            clustersize[best_j] += 1
 
-    aufgeteilt = int((clustersize > 0).sum())
+        for mn in range(2, mingroup):
+            for i in range(anzahl):
+                if clustersize[clusternumber[i]] <= mn:
+                    best_s, best_j = 0, 0
+                    col = cent_scores[:, i]
+                    for j in range(anzahl):
+                        if clustersize[j] >= mn \
+                                and clusternumber[i] != j \
+                                and int(col[j]) > best_s and i != j:
+                            best_s = int(col[j])
+                            best_j = j
+                    clustersize[clusternumber[i]] -= 1
+                    clusternumber[i] = best_j
+                    clustersize[best_j] += 1
+
+    aufgeteilt = int((np.bincount(clusternumber,
+                                  minlength=anzahl) > 0).sum())
     max_u = int(u.max())
     u[members] = clusternumber + max_u + 1
     return aufgeteilt

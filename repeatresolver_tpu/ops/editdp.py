@@ -143,8 +143,10 @@ def entry_column(final_row: np.ndarray) -> int:
 
 
 def backtrack_batch(codes: np.ndarray, qlens: np.ndarray,
-                    entries: np.ndarray) -> np.ndarray:
-    """Lockstep numpy backtracking for a batch.
+                    entries: np.ndarray,
+                    use_native: bool = True) -> np.ndarray:
+    """Backtracking for a batch (native C++ per-row walk when
+    available; lockstep numpy fallback).
 
     codes: [B, Lq, Lt] int8 from align_with_codes (on host), qlens [B],
     entries [B] (entry columns). Returns alignments [B, Lq] int32 where
@@ -152,6 +154,12 @@ def backtrack_batch(codes: np.ndarray, qlens: np.ndarray,
     semantics InitialAligner.c:413-445). Rows with qlen==0 are all -1.
     """
     codes = np.asarray(codes)
+    if use_native:
+        from ..utils import native
+        out = native.editdp_backtrack(codes, np.asarray(qlens),
+                                      np.asarray(entries))
+        if out is not None:
+            return out
     b, lq, lt = codes.shape
     x = np.asarray(qlens, np.int64) - 1
     y = np.asarray(entries, np.int64).copy()

@@ -1,0 +1,70 @@
+"""Checkpoint / resume.
+
+The reference's recovery story is file-level and deliberate: the best
+MSA is rewritten after every improving round (PW_ReAligner.c:1741,
+blessed by README.md:71 — partial results are usable while refinement
+continues), and MaxCorrs are computed once and cached on disk
+(MaxCorrelation.c:1014). This module formalizes both:
+
+  * RealignCheckpoint: MSA + round + best score pair + config, written
+    atomically per improving round; `resume()` restarts the round loop
+    from the stored state.
+  * cached(): compute-once-reuse for array-valued stages (MaxCorrs).
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def _atomic_write(path: str, write_fn) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".ckpt_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            write_fn(f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+@dataclass
+class RealignCheckpoint:
+    msa: np.ndarray
+    round: int
+    best_mille: int
+    best_uno: int
+    bandwidth: int
+
+    def save(self, path: str) -> None:
+        def w(f):
+            np.savez_compressed(
+                f, msa=self.msa,
+                meta=np.array([self.round, self.best_mille,
+                               self.best_uno, self.bandwidth],
+                              np.int64))
+        _atomic_write(path, w)
+
+    @classmethod
+    def load(cls, path: str) -> "RealignCheckpoint":
+        with np.load(path) as z:
+            msa = z["msa"]
+            rnd, bm, bu, bw = (int(v) for v in z["meta"])
+        return cls(msa=msa, round=rnd, best_mille=bm, best_uno=bu,
+                   bandwidth=bw)
+
+
+def cached(path: str, compute, save, load):
+    """Compute-once semantics (the MaxCorrs pattern): if `path` exists,
+    load it; otherwise compute, save, return."""
+    if os.path.exists(path):
+        return load(path)
+    value = compute()
+    save(path, value)
+    return value
