@@ -45,15 +45,20 @@ def main():
     def run():
         out = banded_fill(counts, msa, seqs, ways, lengths,
                           np.int32(c), bandwidth=w)
-        jax.block_until_ready(out)
-        return out
+        # Force completion with a tiny dependent readback:
+        # block_until_ready does not reliably block on the axon
+        # platform, and a full-output transfer would measure the
+        # network tunnel instead of the chip.
+        return int(np.asarray(out[1][0, 0]))
 
-    run()  # compile
-    t0 = time.perf_counter()
+    run()  # compile + settle
     iters = 3
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     cells = b * l * w
     rate = cells / dt
     print(json.dumps({

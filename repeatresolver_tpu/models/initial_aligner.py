@@ -61,22 +61,21 @@ def align_all(template: np.ndarray, seqs: list[np.ndarray],
         lens[:len(idxs)] = lens_real
         for r, i in enumerate(idxs):
             q[r, :lens_real[r]] = seqs[i]
-        codes, fr = editdp.align_with_codes(
+        # On-device backtracking: only [B, Lq] alignments and the final
+        # rows cross the host<->device boundary (the move-code tensor
+        # would be GBs over the tunnel).
+        aligned, fr = editdp.align_on_device(
             q, lens, template.astype(np.int16))
-        codes = np.asarray(codes)
+        aligned = np.asarray(aligned)
         fr = np.asarray(fr)
-        entries = np.array([editdp.entry_column(fr[r])
-                            for r in range(len(idxs))], np.int64)
-        aligned = editdp.backtrack_batch(
-            codes[:len(idxs)], lens_real,
-            entries)
         for r, i in enumerate(idxs):
             nl = int(lens_real[r])
             if nl == 0:
                 errors[i] = np.nan
                 alignments[i] = np.empty(0, np.int32)
             else:
-                errors[i] = fr[r, entries[r]] / nl
+                entry = editdp.entry_column(fr[r])
+                errors[i] = fr[r, entry] / nl
                 alignments[i] = aligned[r, :nl].copy()
     return alignments, errors
 

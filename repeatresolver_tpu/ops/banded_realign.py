@@ -48,9 +48,9 @@ def _row_costs(counts, rows_old):
     return ns, gapcost, inscost, g
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth",))
+@functools.partial(jax.jit, static_argnames=("bandwidth", "chunk"))
 def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
-                bandwidth):
+                bandwidth, chunk=256):
     """DP fill for a block.
 
     counts: int32 [Cp, 6]; rows_old: int8 [B, Cp]; seqs: int8 [B, L];
@@ -59,95 +59,148 @@ def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
     counts).
     Returns (codes uint8 [B, L, W], final_band int32 [B, W],
              final_anf int32 [B]).
+
+    Two-level structure for HBM efficiency: an outer scan over chunks
+    of `chunk` sequence positions gathers all banded cost windows for
+    the chunk in one pass ([B, T, W] tensors); the inner scan over the
+    chunk's positions is then gather-free — pure elementwise VPU work
+    plus one associative prefix-min per position.
     """
     w = bandwidth
     bh = w // 2
     b, c = rows_old.shape
     l = seqs.shape[1]
+    t = chunk
+    nchunks = -(-l // t)
+    lpad = nchunks * t
+    if lpad != l:
+        seqs = jnp.pad(seqs, ((0, 0), (0, lpad - l)))
+        ways = jnp.pad(ways, ((0, 0), (0, lpad - l)), mode="edge")
+
     ns, gapcost, inscost, g = _row_costs(counts, rows_old)
     own = rows_old.astype(jnp.int32)
 
     pad = w + 1
-    nsp = jnp.pad(ns, ((0, 0), (0, pad)))
-    gapp = jnp.pad(gapcost, ((0, 0), (0, pad)))
-    insp = jnp.pad(inscost, ((0, 0), (0, pad)))
+    gapp = jnp.pad(gapcost.astype(jnp.int32), ((0, 0), (0, pad)))
+    insp = jnp.pad(inscost.astype(jnp.int32), ((0, 0), (0, pad)))
+    nsp = jnp.pad(ns.astype(jnp.int32), ((0, 0), (0, pad)))
     gp = jnp.pad(g, ((0, 0), (0, pad)), mode="edge")     # [B, C+1+pad]
     ownp = jnp.pad(own, ((0, 0), (0, pad)), constant_values=5)
-    countsp = jnp.pad(counts.astype(jnp.int32)[:, 0:4],
-                      ((0, pad), (0, 0)))                # [C+pad, 4]
+    # counts for symbols 0..3 flattened for single-gather sym lookup
+    counts4_flat = jnp.pad(counts.astype(jnp.int32)[:, 0:4],
+                           ((0, pad), (0, 0))).reshape(-1)  # [(C+pad)*4]
 
+    anf_all = jnp.maximum(0, ways - bh)                  # [B, Lp]
     arange_w = jnp.arange(w, dtype=jnp.int32)
+    arange_t = jnp.arange(t, dtype=jnp.int32)
 
-    def slice_w(arr_r, start):
-        return jax.lax.dynamic_slice(arr_r, (start,), (w,))
-
-    def step(carry, x):
+    def chunk_step(carry, ci):
         prev_band, prev_anf = carry
-        s = seqs[:, x].astype(jnp.int32)
-        center = ways[:, x]
-        anf = jnp.maximum(0, center - bh)                # [B]
-        ys = anf[:, None] + arange_w[None, :]            # [B, W]
-        validc = ys < ncols
+        x0 = ci * t
+        xs = x0 + arange_t                               # [T]
+        anf_c = jax.lax.dynamic_slice_in_dim(anf_all, x0, t, axis=1)
+        seq_c = jax.lax.dynamic_slice_in_dim(seqs, x0, t, axis=1)
+        ys = anf_c[:, :, None] + arange_w[None, None, :]  # [B, T, W]
 
-        gap_w = jax.vmap(slice_w)(gapp, anf)
-        ins_w = jax.vmap(slice_w)(insp, anf)
-        ns_w = jax.vmap(slice_w)(nsp, anf)
-        gy1_w = jax.vmap(slice_w)(gp, anf + 1)
-        own_w = jax.vmap(slice_w)(ownp, anf)
+        def gat(arr):                                    # [B, Cx] -> [B,T,W]
+            return jax.vmap(jnp.take)(arr, ys)
 
-        def count_slice(anf_b, s_b):
-            col = jax.lax.dynamic_slice(countsp, (anf_b, 0), (w, 4))
-            return jnp.take_along_axis(
-                col, jnp.full((w, 1), s_b, jnp.int32), axis=1)[:, 0]
-        cnt_w = jax.vmap(count_slice)(anf, s)            # [B, W]
-        subcost = ns_w - (cnt_w - (own_w == s[:, None]))
+        gap_w = gat(gapp)
+        ins_w = gat(insp)
+        ns_w = gat(nsp)
+        own_w = gat(ownp)
+        gy1_w = jax.vmap(jnp.take)(gp, ys + 1)           # gp[ys+1]
+        gp_anf = jax.vmap(jnp.take)(gp, anf_c)           # gp[anf] [B,T]
+        # counts[ys, s] via flattened single gather
+        cnt_w = jax.vmap(jnp.take)(
+            jnp.broadcast_to(counts4_flat,
+                             (b, counts4_flat.shape[0])),
+            ys * 4 + seq_c.astype(jnp.int32)[:, :, None])
+        subcost = ns_w - (cnt_w -
+                          (own_w == seq_c[:, :, None]).astype(jnp.int32))
+        # gp[ys] = shift of gp[ys+1] with boundary gp[anf]
+        gy0_w = jnp.concatenate(
+            [gp_anf[:, :, None], gy1_w[:, :, :-1]], axis=2)
+        # gtop for jump reads: gp[anf(x-1) + W]; within the chunk
+        # anf(x-1) is the previous slice; for the first step use carry.
+        anf_prev_c = jnp.concatenate(
+            [prev_anf[:, None], anf_c[:, :-1]], axis=1)  # [B, T]
+        gtop_c = jax.vmap(jnp.take)(gp, anf_prev_c + w)  # [B, T]
 
-        d = anf - prev_anf
-        gtop = jax.vmap(lambda gp_r, pa: gp_r[pa + w])(gp, prev_anf)
+        def step(carry, inputs):
+            prev_band, prev_anf = carry
+            (x, anf, seq_x, gap_x, ins_x, sub_x, gy1_x, gy0_x,
+             gtop_x) = inputs
+            d = anf - prev_anf                           # [B]
+            # Band reads of the previous row are per-row SHIFTS by d:
+            # one padded dynamic slice per row replaces a W-wide gather.
+            dc = jnp.clip(d, 0, w + 1)
+            prev_ext = jnp.concatenate(
+                [jnp.full((b, 1), BIG, jnp.int32), prev_band,
+                 jnp.full((b, w + 2), BIG, jnp.int32)], axis=1)
+            sl = jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(row, (s,),
+                                                     (w + 1,)))(
+                prev_ext, dc)
+            diag_base = sl[:, :w]                        # j = iota+d-1
+            up_base = sl[:, 1:w + 1]                     # j = iota+d
+            j0 = arange_w[None, :] + d[:, None]
+            jm = j0 - 1
 
-        def prev_read(offset):
-            j = arange_w[None, :] + d[:, None] + offset
-            inb = (j >= 0) & (j < w)
-            base = jnp.take_along_axis(prev_band,
-                                       jnp.clip(j, 0, w - 1), axis=1)
-            ytgt = jnp.clip(ys + offset + 1, 0, gp.shape[1] - 1)
-            gy = jnp.take_along_axis(gp, ytgt, axis=1)
-            jump = prev_band[:, w - 1:w] + (gy - gtop[:, None])
-            return jnp.where(inb, base,
-                             jnp.where(j >= w, jump, BIG))
+            def prev_read(j, base, gy):
+                jump = prev_band[:, w - 1:w] + (gy - gtop_x[:, None])
+                return jnp.where(j >= w, jump,
+                                 jnp.where(j >= 0, base, BIG))
 
-        first = x == 0
-        diag_prev = jnp.where(first, 0, prev_read(-1))
-        up_prev = jnp.where(first, 0, prev_read(0))
+            first = x == 0
+            diag_prev = jnp.where(first, 0, prev_read(jm, diag_base,
+                                                      gy0_x))
+            up_prev = jnp.where(first, 0, prev_read(j0, up_base,
+                                                    gy1_x))
 
-        diag = diag_prev + subcost
-        ok_ins = (ys > 0) & (ys < ncols - 1)
-        a = jnp.minimum(diag,
-                        jnp.where(ok_ins, up_prev + ins_w, BIG))
-        a = jnp.where(validc, a, BIG)
-        m = jax.lax.associative_scan(jnp.minimum, a - gy1_w,
-                                     axis=1) + gy1_w
+            ysx = anf[:, None] + arange_w[None, :]
+            diag = diag_prev + sub_x
+            ok_ins = (ysx > 0) & (ysx < ncols - 1)
+            a = jnp.minimum(diag,
+                            jnp.where(ok_ins, up_prev + ins_x, BIG))
+            a = jnp.where(ysx < ncols, a, BIG)
+            m = jax.lax.associative_scan(jnp.minimum, a - gy1_x,
+                                         axis=1) + gy1_x
 
-        left = jnp.concatenate(
-            [jnp.full((b, 1), BIG, jnp.int32), m[:, :-1]], axis=1)
-        # Backtracker priority (PW_ReAligner.c:1375-1410): gap first,
-        # then the x==L-1 flat-space arm (M == left, :1386), then
-        # diagonal, then insert.
-        is_last = (x == lengths - 1)[:, None]
-        gap_hit = (m == left + gap_w) | (is_last & (m == left))
-        codes = jnp.where(gap_hit, jnp.uint8(0),
-                          jnp.where(m == diag, jnp.uint8(1),
-                                    jnp.uint8(2)))
+            left = jnp.concatenate(
+                [jnp.full((b, 1), BIG, jnp.int32), m[:, :-1]], axis=1)
+            # Backtracker priority (PW_ReAligner.c:1375-1410): gap,
+            # then the x==L-1 flat-space arm (M == left), then
+            # diagonal, then insert.
+            is_last = (x == lengths - 1)[:, None]
+            gap_hit = (m == left + gap_x) | (is_last & (m == left))
+            codes = jnp.where(gap_hit, jnp.uint8(0),
+                              jnp.where(m == diag, jnp.uint8(1),
+                                        jnp.uint8(2)))
 
-        active = x < lengths
-        new_band = jnp.where(active[:, None], m, prev_band)
-        new_anf = jnp.where(active, anf, prev_anf)
-        return (new_band, new_anf), codes
+            active = x < lengths
+            new_band = jnp.where(active[:, None], m, prev_band)
+            new_anf = jnp.where(active, anf, prev_anf)
+            return (new_band, new_anf), codes
+
+        inputs = (xs,
+                  jnp.moveaxis(anf_c, 1, 0),
+                  jnp.moveaxis(seq_c, 1, 0),
+                  jnp.moveaxis(gap_w, 1, 0),
+                  jnp.moveaxis(ins_w, 1, 0),
+                  jnp.moveaxis(subcost, 1, 0),
+                  jnp.moveaxis(gy1_w, 1, 0),
+                  jnp.moveaxis(gy0_w, 1, 0),
+                  jnp.moveaxis(gtop_c, 1, 0))
+        (band, anf_out), codes_c = jax.lax.scan(
+            step, (prev_band, prev_anf), inputs, unroll=2)
+        return (band, anf_out), codes_c
 
     band0 = jnp.zeros((b, w), jnp.int32)
     anf0 = jnp.zeros((b,), jnp.int32)
     (final_band, final_anf), codes = jax.lax.scan(
-        step, (band0, anf0), jnp.arange(l, dtype=jnp.int32))
+        chunk_step, (band0, anf0), jnp.arange(nchunks, dtype=jnp.int32))
+    codes = codes.reshape(lpad, b, w)[:l]
     return (jnp.transpose(codes, (1, 0, 2)), final_band, final_anf)
 
 

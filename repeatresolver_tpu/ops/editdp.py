@@ -131,6 +131,54 @@ def align_with_codes(queries: jax.Array, qlens: jax.Array,
     return jnp.transpose(codes, (1, 0, 2)), fr
 
 
+@functools.partial(jax.jit, static_argnames=())
+def align_on_device(queries: jax.Array, qlens: jax.Array,
+                    target: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Full alignment with ON-DEVICE backtracking.
+
+    Only the per-base alignments [B, Lq] int32 and final-row scores
+    leave the device — essential when the accelerator sits behind a
+    network tunnel (the [B, Lq, Lt] move-code tensor stays in HBM).
+    Returns (alignments, final_rows); alignments[b, i] = target column
+    of query base i or -1, reference semantics like backtrack_batch.
+    """
+    queries = jnp.asarray(queries)
+    target = jnp.asarray(target)
+    b, lq = queries.shape
+    lt = target.shape[0]
+    codes, fr = align_with_codes(queries, qlens, target)
+    # entry scan: min over columns [1, lt-1], ties -> largest column
+    rev = fr[:, 1:][:, ::-1]
+    entries = (lt - 1 - jnp.argmin(rev, axis=1)).astype(jnp.int32)
+
+    bidx = jnp.arange(b)
+    x0 = jnp.asarray(qlens, jnp.int32) - 1
+    out0 = jnp.full((b, lq), -1, jnp.int32)
+
+    def cond(state):
+        x, y, out, it = state
+        return jnp.any((x > -1) & (y > -1)) & (it < lq + lt + 4)
+
+    def body(state):
+        x, y, out, it = state
+        active = (x > -1) & (y > -1)
+        xs = jnp.maximum(x, 0)
+        ysafe = jnp.maximum(y, 0)
+        code = codes[bidx, xs, ysafe]
+        is_diag = active & ((code == 0) | (code == 3))
+        is_left = active & (code == 1)
+        is_up = active & (code == 2)
+        out = out.at[bidx, xs].set(
+            jnp.where(is_diag, y, out[bidx, xs]))
+        x = x - (is_diag | is_up).astype(jnp.int32)
+        y = y - (is_diag | is_left).astype(jnp.int32)
+        return (x, y, out, it + 1)
+
+    _, _, out, _ = jax.lax.while_loop(
+        cond, body, (x0, entries, out0, jnp.int32(0)))
+    return out, fr
+
+
 def entry_column(final_row: np.ndarray) -> int:
     """The reference entry scan (InitialAligner.c:336-346 /
     ReadCutter.c:398-408): minimum over columns [1, Lt-1] scanned

@@ -61,11 +61,20 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     msa = rio.read_msa(msa_path)
     msareal_path = os.path.join(workdir, name + "_MSAreal")
     log: list = []
-    best = realigner.realign(msa, cfg.realigner, out_path=msareal_path,
-                             score_log=log)
+    rstats: dict = {}
+    if cfg.realigner.block_rows > 1:
+        best = realigner.realign_batched(
+            msa, cfg.realigner, out_path=msareal_path, score_log=log,
+            checkpoint_path=os.path.join(workdir, name + "_realign.ckpt"),
+            stats=rstats)
+    else:
+        best = realigner.realign(msa, cfg.realigner,
+                                 out_path=msareal_path, score_log=log)
     paths["msareal"] = msareal_path
     progress(f"[realign] {len(log) - 1} rounds, score "
-             f"{log[0]} -> {log[-1]}, width {best.shape[1]}")
+             f"{log[0]} -> {log[-1]}, width {best.shape[1]}"
+             + (f", {rstats.get('cells_per_s', 0):.2e} cells/s"
+                if rstats else ""))
 
     msareal = rio.read_msa(msareal_path)
     bounds = window.window_boundaries(msareal, cfg.window)

@@ -102,3 +102,26 @@ def test_backtrack_with_insertion():
     assert (out == -1).sum() == 1
     placed = out[out >= 0]
     assert (np.diff(placed) > 0).all()
+
+
+def test_align_on_device_matches_host_backtrack():
+    rng = np.random.default_rng(9)
+    t = rng.integers(0, 4, 55).astype(np.int16)
+    lens = [12, 30, 47]
+    qpad = np.full((3, 47), 100, np.int16)
+    for i, lq in enumerate(lens):
+        q = t[(5 + i):(5 + i + lq)].copy()
+        mut = rng.random(lq) < 0.15
+        q[mut] = rng.integers(0, 4, mut.sum())
+        qpad[i, :lq] = q
+    qlens = np.array(lens, np.int32)
+    aligned_dev, fr_dev = editdp.align_on_device(qpad, qlens, t)
+    codes, fr = editdp.align_with_codes(qpad, qlens, t)
+    entries = np.array([editdp.entry_column(np.asarray(fr)[r])
+                        for r in range(3)])
+    aligned_host = editdp.backtrack_batch(np.asarray(codes), qlens,
+                                          entries)
+    np.testing.assert_array_equal(np.asarray(fr_dev), np.asarray(fr))
+    for r, lq in enumerate(lens):
+        np.testing.assert_array_equal(
+            np.asarray(aligned_dev)[r, :lq], aligned_host[r, :lq])
