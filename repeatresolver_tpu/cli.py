@@ -78,6 +78,13 @@ def main(argv=None):
     s.add_argument("dataset_dir")
     s.add_argument("resolution_dir")
 
+    s = sub.add_parser("assess-transposon")
+    s.add_argument("kmeanspath",
+                   help="KmeansSubdivisionOf_<von>_<bis>_<msa> path; "
+                        "sibling files are derived like the reference "
+                        "(TransposonAssessment.py:26-43)")
+    s.add_argument("--cutoff", type=float, default=1.0)
+
     s = sub.add_parser("pipeline")
     s.add_argument("-c", type=int, default=40)
     s.add_argument("-n", type=int, default=100)
@@ -173,6 +180,31 @@ def main(argv=None):
                   f"{q.falsepositives} bei cutoff 0.0.")
         print(f"MultiStep: tp={multi.truepositives} "
               f"fp={multi.falsepositives}")
+
+    elif args.cmd == "assess-transposon":
+        from .models import assessment as am
+        base = os.path.basename(args.kmeanspath)
+        d = os.path.dirname(args.kmeanspath) or "."
+        parts = base.split("_")
+        von, bis = int(parts[1]), int(parts[2])
+        number = parts[4]
+        suffix = base[len("KmeansSubdivisionOf"):]
+        msa = rio.read_msa(os.path.join(
+            d, f"MidTransposonMMA_{number}_real"))
+        mc = rio.read_maxcorrs(os.path.join(
+            d, f"MaxCorrsOf_MidTransposonMMA_{number}_real"))
+        col_mc = mc.reshape(-1, 5).max(axis=1)
+        gt = rio.read_ints(os.path.join(d, f"TransposonCopies_{number}"))
+        sigs = am.signatures(msa, col_mc, args.cutoff, von, bis)
+        mindiffs, summe = am.resolvability(gt, sigs)
+        print("unique groups at >0..10 diffs:", summe.tolist())
+        for kind in ("Dropoff", "RelDrop", "Kmeans"):
+            path = os.path.join(d, f"{kind}SubdivisionOf{suffix}")
+            if os.path.exists(path):
+                res = rio.read_ints(path)
+                q = am.resolution_quality(gt, res)
+                print(f"{kind}: truepositives {q.truepositives}, "
+                      f"falsepositives {q.falsepositives}")
 
     elif args.cmd == "pipeline":
         from .pipeline import run_pipeline

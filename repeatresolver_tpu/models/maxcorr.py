@@ -115,6 +115,102 @@ def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
     return maxcorrs
 
 
+def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
+                            tile: int = 256) -> np.ndarray:
+    """Device path: one-hot groups built on device, MXU int8 matmuls per
+    tile pair, f32 hypergeometric on device, per-group max accumulated
+    on device. Only the [C*5] result and per-tile alive masks cross the
+    host boundary. Semantics mirror compute_maxcorrs; Z values are f32
+    (~1e-3) — use compute_maxcorrs for golden parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.hypergeom_device import positive_significance_f32
+
+    msa = np.asarray(msa)
+    r, c = msa.shape
+    signumber = r
+    mincov = cfg.mincov
+    gap = cfg.min_col_gap
+    cpad = -(-c // tile) * tile
+    msa_p = np.full((r, cpad), 5, np.int8)
+    msa_p[:, :c] = msa
+
+    dev = jnp.asarray(msa_p)                       # [R, Cp]
+    groups = jnp.stack([(dev == s) for s in range(5)],
+                       axis=1).astype(jnp.int8)    # [R, 5, Cp]
+    groups = groups.transpose(2, 1, 0).reshape(cpad * 5, r)  # [Cp5, R]
+    coverage = (dev < 5).astype(jnp.int8).T        # [Cp, R]
+    sizes = groups.sum(axis=1, dtype=jnp.int32)    # [Cp5]
+    covcount = coverage.sum(axis=1, dtype=jnp.int32)
+    baseno = sizes.reshape(cpad, 5)[:, 0:4].sum(axis=1)
+    size_ok = (sizes > mincov // 4) & (sizes < signumber)
+    seed_ok = size_ok.reshape(cpad, 5)
+    if cfg.majority_filter:
+        seed_ok = seed_ok & (baseno > covcount // 2)[:, None]
+    partner_ok = size_ok.reshape(cpad, 5)
+
+    t = tile
+
+    @jax.jit
+    def tile_step(acc, alive, i0, j0):
+        gi = jax.lax.dynamic_slice(groups, (i0 * 5, 0), (t * 5, r))
+        gj = jax.lax.dynamic_slice(groups, (j0 * 5, 0), (t * 5, r))
+        ci = jax.lax.dynamic_slice(coverage, (i0, 0), (t, r))
+        cj = jax.lax.dynamic_slice(coverage, (j0, 0), (t, r))
+        shared = jnp.dot(ci, cj.T,
+                         preferred_element_type=jnp.int32)
+        ii = i0 + jnp.arange(t)[:, None]
+        jj = j0 + jnp.arange(t)[None, :]
+        valid = (jj >= ii + gap) & (jj < c)
+        fail = valid & (shared < mincov)
+        cumfail = jnp.cumsum(fail.astype(jnp.int32), axis=1) > 0
+        allowed = valid & alive[:, None] & ~cumfail
+        alive_next = alive & ~cumfail[:, -1]
+
+        schnitt = jnp.dot(gi, gj.T, preferred_element_type=jnp.int32)
+        gr1 = jnp.dot(gi, cj.T, preferred_element_type=jnp.int32)
+        gr2 = jnp.dot(ci, gj.T, preferred_element_type=jnp.int32)
+
+        sok = jax.lax.dynamic_slice(seed_ok, (i0, 0), (t, 5))
+        pok = jax.lax.dynamic_slice(partner_ok, (j0, 0), (t, 5))
+        szi = jax.lax.dynamic_slice(sizes, (i0 * 5,), (t * 5,))
+        szj = jax.lax.dynamic_slice(sizes, (j0 * 5,), (t * 5,))
+
+        pair_ok = (allowed[:, None, :, None]
+                   & sok[:, :, None, None]
+                   & pok[None, None, :, :]).reshape(t * 5, t * 5)
+        s4 = schnitt
+        g1 = jnp.repeat(gr1, 5, axis=1)            # [t5, t5]
+        g2 = jnp.repeat(gr2, 5, axis=0)            # [t5, t5]
+        cv = jnp.repeat(jnp.repeat(shared, 5, axis=0), 5, axis=1)
+        z = positive_significance_f32(
+            s4, g1, g2, cv, szi[:, None], szj[None, :])
+        z = jnp.where(pair_ok, z, 0.0)
+
+        zi = z.max(axis=1)
+        zj = z.max(axis=0)
+        ai = jax.lax.dynamic_slice(acc, (i0 * 5,), (t * 5,))
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.maximum(ai, zi), (i0 * 5,))
+        aj = jax.lax.dynamic_slice(acc, (j0 * 5,), (t * 5,))
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.maximum(aj, zj), (j0 * 5,))
+        return acc, alive_next
+
+    acc = jnp.zeros(cpad * 5, jnp.float32)
+    seed_any = np.asarray(seed_ok.any(axis=1))
+    for i0 in range(0, cpad, t):
+        if not seed_any[i0:i0 + t].any():
+            continue
+        alive = jnp.asarray(seed_any[i0:i0 + t])
+        for j0 in range(i0, cpad, t):
+            acc, alive = tile_step(acc, alive, i0, j0)
+            if not bool(np.asarray(alive.any())):
+                break
+    return np.asarray(acc)[: c * 5].astype(np.float64)
+
+
 def run(msa_path: str, cfg: MaxCorrConfig, out_path: str | None = None,
         **kw) -> np.ndarray:
     """CLI-equivalent: MSA file in, MaxCorrsOf_<path> out."""

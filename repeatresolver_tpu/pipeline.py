@@ -81,7 +81,12 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     res.boundaries = bounds
     progress(f"[window] boundaries {bounds}")
 
-    mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr)
+    # Device path for big MSAs (the pairwise stats are matmul-bound);
+    # exact float64 host path for small ones.
+    if msareal.shape[1] * msareal.shape[0] > 4_000_000:
+        mc = maxcorr.compute_maxcorrs_device(msareal, cfg.maxcorr)
+    else:
+        mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr)
     mc_path = os.path.join(workdir,
                            "MaxCorrsOf_" + os.path.basename(msareal_path))
     rio.write_maxcorrs(mc_path, mc)

@@ -63,3 +63,18 @@ def test_maxcorrs_tiling_invariance(planted_msa):
     a = maxcorr.compute_maxcorrs(msa, MaxCorrConfig(mincov=20), tile=64)
     b = maxcorr.compute_maxcorrs(msa, MaxCorrConfig(mincov=20), tile=512)
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_path_matches_host(planted_msa):
+    from repeatresolver_tpu.models.maxcorr import (compute_maxcorrs,
+                                                   compute_maxcorrs_device)
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    host = compute_maxcorrs(msa, cfg)
+    dev = compute_maxcorrs_device(msa, cfg, tile=128)
+    cutoff = cfg.resolved_cutoff(msa.shape[1])
+    # identical significance decisions...
+    np.testing.assert_array_equal(host > cutoff, dev > cutoff)
+    # ...and close values where significant (f32 + truncated series)
+    sig = host > cutoff
+    np.testing.assert_allclose(dev[sig], host[sig], rtol=2e-3, atol=5e-3)
