@@ -319,11 +319,19 @@ class BatchedRealigner:
     """
 
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
-                 block_rows: int = 8):
+                 block_rows: int = 8, mode: str = "exact",
+                 chunk: int = 256, kernel: str = "xla"):
+        assert mode in ("exact", "staircase")
+        assert kernel in ("xla", "pallas")
         self.msa = np.ascontiguousarray(msa, dtype=np.int8)
         self.counts = symbol_counts(self.msa)
         self.bandwidth = bandwidth
         self.block_rows = block_rows
+        self.mode = mode
+        # keep the pallas VMEM footprint bounded for wide bands
+        self.chunk = min(chunk, 128) if bandwidth >= 768 and \
+            kernel == "pallas" else chunk
+        self.kernel = kernel
 
     def ent_al_gapper(self):
         eng = RealignEngine.__new__(RealignEngine)
@@ -387,12 +395,55 @@ class BatchedRealigner:
         rows_p = np.full((bs, cpad), 5, np.int8)
         rows_p[:, :c] = rows_old
 
-        codes, fband, fanf = br.banded_fill(
-            counts_p, rows_p, seqs, ways, lengths, np.int32(c),
-            bandwidth=self.bandwidth)
+        bh = self.bandwidth // 2
+        if self.mode == "staircase":
+            from ..ops import staircase_realign as sr
+            if self.kernel == "pallas":
+                import jax
+
+                from ..ops import pallas_realign as pr
+                bpad = -(-bs // pr.BR) * pr.BR
+                if bpad != bs:
+                    rows_p = np.concatenate(
+                        [rows_p, np.full((bpad - bs, cpad), 5,
+                                         np.int8)])
+                    seqs = np.concatenate(
+                        [seqs, np.zeros((bpad - bs, seqs.shape[1]),
+                                        np.int8)])
+                    ways = np.concatenate(
+                        [ways, np.zeros((bpad - bs, ways.shape[1]),
+                                        np.int32)])
+                    lengths = np.concatenate(
+                        [lengths, np.zeros(bpad - bs, np.int32)])
+                codes, fband, fanf = pr.staircase_fill_pallas(
+                    counts_p, rows_p, seqs, ways, lengths, np.int32(c),
+                    bandwidth=self.bandwidth, chunk=self.chunk,
+                    interpret=jax.default_backend() == "cpu")
+                codes = codes[:bs]
+                fband = fband[:bs]
+                fanf = fanf[:bs]
+                rows_p = rows_p[:bs]
+                seqs = seqs[:bs]
+                ways = ways[:bs]
+                lengths = lengths[:bs]
+            else:
+                codes, fband, fanf = sr.staircase_fill(
+                    counts_p, rows_p, seqs, ways, lengths, np.int32(c),
+                    bandwidth=self.bandwidth, chunk=self.chunk)
+            w_codes = self.bandwidth + self.chunk
+            anf_full = sr.staircase_anf(ways, lengths, self.bandwidth,
+                                        self.chunk, c)
+        else:
+            codes, fband, fanf = br.banded_fill(
+                counts_p, rows_p, seqs, ways, lengths, np.int32(c),
+                bandwidth=self.bandwidth)
+            w_codes = self.bandwidth
+            anf_full = np.maximum(0, ways - bh).astype(np.int32)
+        last_way = ways[np.arange(bs), np.maximum(lengths - 1, 0)]
+        entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
         new_rows, best, iy, ib, inn = br.entry_and_backtrack(
-            codes, fband, fanf, seqs, ways, lengths, np.int32(c),
-            cpad=cpad, bandwidth=self.bandwidth)
+            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
+            np.int32(c), cpad=cpad, bandwidth=w_codes)
         new_rows = np.asarray(new_rows)[:, :c]
         iy = np.asarray(iy)
         ib = np.asarray(ib)
@@ -445,7 +496,9 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     checkpoint_path: str | None = None,
                     resume: bool = False,
                     stats: dict | None = None,
-                    validate: bool = False) -> np.ndarray:
+                    validate: bool = False,
+                    mode: str = "exact",
+                    kernel: str = "xla") -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
     realign(). With checkpoint_path, state is saved atomically per
     improving round (the reference's best-MSA-per-round semantics,
@@ -464,7 +517,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         best = (c.best_mille, c.best_uno)
 
     eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
-                           block_rows=block_rows or cfg.block_rows)
+                           block_rows=block_rows or cfg.block_rows,
+                           mode=mode, kernel=kernel)
     eng.ent_al_gapper()
     best_msa = None
     rounds = start_round

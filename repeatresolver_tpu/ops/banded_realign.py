@@ -205,16 +205,21 @@ def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "cpad"))
-def entry_and_backtrack(codes, final_band, final_anf, seqs, ways,
-                        lengths, ncols, *, cpad, bandwidth):
+def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
+                        entry_bound, lengths, ncols, *, cpad,
+                        bandwidth):
     """Entry-column scan + lockstep backtracking on device.
 
-    ncols is the real (dynamic) column count; cpad the static padded
-    capacity of the output row buffer. Returns (new_rows int8 [B, cpad]
-    with 4/base placements (5 default), best int32 [B], ins_y int32
-    [B, K], ins_base int8 [B, K], ins_n int32 [B])."""
+    anf_full: int32 [B, L] band start per sequence position (reference
+    mode: max(0, way-bh); staircase mode: the per-chunk window starts).
+    entry_bound: int32 [B] lowest-exclusive column of the entry scan
+    (reference: max(-1, way[len-1]-bh)). ncols is the real (dynamic)
+    column count; cpad the static padded capacity. bandwidth is the
+    width of the code rows (W, or W+chunk for staircase).
+    Returns (new_rows int8 [B, cpad] with 4/base placements (5
+    default), best int32 [B], ins_y int32 [B, K], ins_base int8 [B, K],
+    ins_n int32 [B])."""
     w = bandwidth
-    bh = w // 2
     b = seqs.shape[0]
     l = seqs.shape[1]
 
@@ -227,10 +232,7 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, ways,
     flat = final_band[:, w - 1:w]
     vals = jnp.where(inband, vals, jnp.where(j >= w, flat, BIG))
     vals = jnp.where(ycols < ncols, vals, BIG)
-    last_center = jnp.take_along_axis(
-        ways, jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
-    bound = jnp.maximum(-1, last_center - bh)
-    scan_ok = (ycols > bound[:, None]) & (ycols < ncols)
+    scan_ok = (ycols > entry_bound[:, None]) & (ycols < ncols)
     scan_vals = jnp.where(scan_ok, vals, BIG)
     # the reference initializes best at y = C-1 regardless of bound
     scan_vals = jnp.where(ycols == ncols - 1, vals, scan_vals)
@@ -250,8 +252,7 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, ways,
         active = (x > -1) & (y > -1)
         xs = jnp.maximum(x, 0)
         ysafe = jnp.maximum(y, 0)
-        center = jnp.take_along_axis(ways, xs[:, None], axis=1)[:, 0]
-        anf = jnp.maximum(0, center - bh)
+        anf = jnp.take_along_axis(anf_full, xs[:, None], axis=1)[:, 0]
         top = anf + w - 1
         above = y > top
         off = jnp.clip(y - anf, 0, w - 1)

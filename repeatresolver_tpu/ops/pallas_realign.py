@@ -1,0 +1,242 @@
+"""Pallas TPU kernel for the staircase-band realignment fill.
+
+Produces bit-identical move codes to ops/staircase_realign.staircase_fill
+(tested, interpret mode on CPU). The division of labor:
+
+  * XLA precompute (_windows): one gather pass building per-chunk cost
+    windows [B, NC, W2] — gap, insert, one-hot-corrected substitution
+    ingredients, gap-cost prefixes, band-shift amounts and jump offsets,
+    validity masks. This is where all dynamic indexing lives.
+  * Pallas kernel: grid (B/BR, NC); per grid step the chunk's windows
+    stream into VMEM via BlockSpecs, the band state lives in a VMEM
+    scratch that persists across the chunk dimension (TPU grids iterate
+    the last axis innermost), and the T inner steps are pure vector
+    ops: static shifts, a log-step prefix-min, and code emission. No
+    gathers, no HBM traffic beyond the streamed blocks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded_realign import BIG, _row_costs
+
+BR = 8  # rows per program (sublane dimension)
+
+
+def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t):
+    """Per-chunk window tensors (XLA side)."""
+    w2 = w + t
+    bh = w // 2
+    b, c = rows_old.shape
+    l = seqs.shape[1]
+    nchunks = -(-l // t)
+    lpad = nchunks * t
+    if lpad != l:
+        seqs = jnp.pad(seqs, ((0, 0), (0, lpad - l)))
+        ways = jnp.pad(ways, ((0, 0), (0, lpad - l)), mode="edge")
+
+    ns, gapcost, inscost, g = _row_costs(counts, rows_old)
+    own = rows_old.astype(jnp.int32)
+    pad = w2 + 1
+    gapp = jnp.pad(gapcost.astype(jnp.int32), ((0, 0), (0, pad)))
+    insp = jnp.pad(inscost.astype(jnp.int32), ((0, 0), (0, pad)))
+    nsp = jnp.pad(ns.astype(jnp.int32), ((0, 0), (0, pad)))
+    gp = jnp.pad(g, ((0, 0), (0, pad)), mode="edge")
+    ownp = jnp.pad(own, ((0, 0), (0, pad)), constant_values=5)
+    counts4 = jnp.pad(counts.astype(jnp.int32)[:, 0:4],
+                      ((0, pad), (0, 0)))
+
+    a_chunks = jnp.maximum(0, ways - bh)[:, ::t][:, :nchunks]  # [B, NC]
+    ys = a_chunks[:, :, None] + jnp.arange(w2)[None, None, :]  # [B,NC,W2]
+
+    def gat(arr):
+        return jax.vmap(jnp.take)(arr, ys)
+
+    gap_w = gat(gapp)
+    ins_w = gat(insp)
+    ns_w = gat(nsp)
+    own_w = gat(ownp)
+    gy1_w = jax.vmap(jnp.take)(gp, ys + 1)
+    c4_w = jax.vmap(lambda cc, yy: cc[yy])(
+        jnp.broadcast_to(counts4, (b,) + counts4.shape), ys)  # [B,NC,W2,4]
+
+    prev_a = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), a_chunks[:, :-1]], axis=1)
+    dshift = jnp.clip(a_chunks - prev_a, 0, w2 + 1)            # [B, NC]
+    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)                 # [B, NC]
+    jadd = gy1_w - gtop[:, :, None]                            # [B,NC,W2]
+
+    validc = (ys < ncols).astype(jnp.int32)
+    ok_ins = ((ys > 0) & (ys < ncols - 1)).astype(jnp.int32)
+    seq_c = seqs.reshape(b, nchunks, t).astype(jnp.int32)
+
+    def nc_major(x):             # [B, NC, ...] -> [NC, B, ...]
+        return jnp.swapaxes(x, 0, 1)
+
+    return dict(gap=nc_major(gap_w), ins=nc_major(ins_w),
+                ns=nc_major(ns_w), own=nc_major(own_w),
+                gy1=nc_major(gy1_w), c4=nc_major(c4_w),
+                dshift=nc_major(dshift)[:, :, None],
+                jadd=nc_major(jadd), valid=nc_major(validc),
+                ok_ins=nc_major(ok_ins), seq=nc_major(seq_c),
+                a=a_chunks,
+                lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
+                nchunks=nchunks, w2=w2, lpad=lpad)
+
+
+def _prefix_min(v, width):
+    """Manual log-step inclusive prefix-min along the last axis."""
+    k = 1
+    while k < width:
+        shifted = jnp.concatenate(
+            [jnp.full(v.shape[:-1] + (k,), BIG, v.dtype),
+             v[..., :-k]], axis=-1)
+        v = jnp.minimum(v, shifted)
+        k *= 2
+    return v
+
+
+def _kernel(seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
+            c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref, len_ref,
+            codes_ref, bandout_ref, band):
+    ci = pl.program_id(1)
+    t = seq_ref.shape[2]
+    w2 = gap_ref.shape[2]
+
+    gap_w = gap_ref[0]
+    ins_w = ins_ref[0]
+    ns_w = ns_ref[0]
+    own_w = own_ref[0]
+    gy1_w = gy1_ref[0]
+    jadd = jadd_ref[0]
+    valid = valid_ref[0] != 0
+    ok_ins = okins_ref[0] != 0
+    lengths = len_ref[:, 0]
+
+    # ---- chunk-boundary band shift (d >= 0) with jump fill
+    @pl.when(ci == 0)
+    def _():
+        band[:, :] = jnp.zeros((BR, w2), jnp.int32)
+
+    @pl.when(ci > 0)
+    def _():
+        bcur = band[:, :]
+        lastcol = bcur[:, w2 - 1:w2]                    # [BR, 1]
+        d_all = dsh_ref[0, :, 0][:, None]               # [BR, 1]
+        # per-row left-shift by d via binary decomposition of d into
+        # static shifts (mosaic has no multi-vreg lane gather)
+        shifted = bcur
+        k = 1
+        while k <= w2:
+            sh = jnp.concatenate(
+                [shifted[:, k:],
+                 jnp.full((BR, k), BIG, jnp.int32)], axis=1)
+            shifted = jnp.where((d_all & k) != 0, sh, shifted)
+            k *= 2
+        iot = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
+        jump = lastcol + jadd
+        band[:, :] = jnp.where(iot + d_all >= w2, jump, shifted)
+
+    seq_all = seq_ref[0]                                # [BR, T]
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
+
+    def step(tt, _):
+        x = ci * t + tt
+        # dynamic lane read via masked reduce (mosaic-friendly)
+        s = jnp.max(jnp.where(lane_t == tt, seq_all, -1),
+                    axis=1, keepdims=True)              # [BR, 1]
+        c4 = c4_ref[0]                                  # [BR, W2, 4]
+        csel = jnp.where(
+            s == 0, c4[:, :, 0],
+            jnp.where(s == 1, c4[:, :, 1],
+                      jnp.where(s == 2, c4[:, :, 2], c4[:, :, 3])))
+        subcost = ns_w - (csel - (own_w == s))
+        bcur = band[:, :]
+        first = x == 0
+        diag_prev = jnp.where(
+            first, 0,
+            jnp.concatenate(
+                [jnp.full((BR, 1), BIG, jnp.int32), bcur[:, :-1]],
+                axis=1))
+        up_prev = jnp.where(first, 0, bcur)
+        diag = diag_prev + subcost
+        av = jnp.minimum(diag, jnp.where(ok_ins, up_prev + ins_w, BIG))
+        av = jnp.where(valid, av, BIG)
+        m = _prefix_min(av - gy1_w, w2) + gy1_w
+        left = jnp.concatenate(
+            [jnp.full((BR, 1), BIG, jnp.int32), m[:, :-1]], axis=1)
+        is_last = (x == lengths - 1)[:, None]
+        gap_hit = (m == left + gap_w) | (is_last & (m == left))
+        codes32 = jnp.where(gap_hit, 0,
+                            jnp.where(m == diag, 1, 2))
+        codes_ref[0, pl.ds(tt, 1), :, :] = \
+            codes32.astype(jnp.uint8)[None, :, :]
+        active = (x < lengths)[:, None]
+        band[:, :] = jnp.where(active, m, bcur)
+        return 0
+
+    jax.lax.fori_loop(0, t, step, 0)
+    bandout_ref[:, :] = band[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bandwidth", "chunk", "interpret"))
+def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
+                          *, bandwidth, chunk=256, interpret=False):
+    """Pallas staircase fill; same outputs as staircase_fill."""
+    w = bandwidth
+    t = chunk
+    b, c = rows_old.shape
+    l = seqs.shape[1]
+    assert b % BR == 0, f"block rows must be a multiple of {BR}"
+    wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t)
+    nc = wd["nchunks"]
+    w2 = wd["w2"]
+
+    def bs(shape, index):
+        return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
+
+    grid = (b // BR, nc)
+    codes, band_out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # seq
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gap
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ins
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ns
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # own
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gy1
+            bs((1, BR, w2, 4), lambda bg, ci: (ci, bg, 0, 0)),  # c4
+            bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # dshift
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # jadd
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # valid
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ok_ins
+            bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
+        ],
+        out_specs=[
+            bs((1, t, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),
+            bs((BR, w2), lambda bg, ci: (bg, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, t, b, w2), jnp.uint8),
+            jax.ShapeDtypeStruct((b, w2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BR, w2), jnp.int32),            # band state
+        ],
+        interpret=interpret,
+    )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["own"],
+      wd["gy1"], wd["c4"], wd["dshift"], wd["jadd"], wd["valid"],
+      wd["ok_ins"], wd["lengths"])
+
+    codes = jnp.transpose(codes.reshape(nc * t, b, w2),
+                          (1, 0, 2))[:, :l]
+    final_a = wd["a"][:, -1]
+    return codes, band_out, final_a

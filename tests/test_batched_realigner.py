@@ -50,3 +50,38 @@ def test_block4_converges_and_improves():
     eng = realigner.RealignEngine(out, bandwidth=96)
     m, u = realigner.overall_score_pair(eng.counts)
     assert m * 1000000 + u == min(scores)
+
+
+def test_staircase_mode_converges():
+    msa = make_msa(11, rows=14, tlen=240)
+    cfg = RealignerConfig(bandwidth=96)
+    log: list = []
+    out = realigner.realign_batched(msa.copy(), cfg, score_log=log,
+                                    block_rows=4, mode="staircase")
+    scores = [m * 1000000 + u for m, u in log]
+    assert min(scores) < scores[0]
+    # best-MSA contract holds
+    eng = realigner.RealignEngine(out, bandwidth=96)
+    m, u = realigner.overall_score_pair(eng.counts)
+    assert m * 1000000 + u == min(scores)
+    # staircase quality close to exact-band quality
+    log2: list = []
+    realigner.realign_batched(msa.copy(), cfg, score_log=log2,
+                              block_rows=4, mode="exact")
+    exact_best = min(m * 1000000 + u for m, u in log2)
+    assert min(scores) <= exact_best * 1.02 + 10
+
+
+def test_staircase_pallas_kernel_matches_xla_engine():
+    msa = make_msa(13, rows=10, tlen=200)
+    cfg = RealignerConfig(bandwidth=64)
+    log_x: list = []
+    out_x = realigner.realign_batched(msa.copy(), cfg, score_log=log_x,
+                                      block_rows=8, mode="staircase",
+                                      kernel="xla")
+    log_p: list = []
+    out_p = realigner.realign_batched(msa.copy(), cfg, score_log=log_p,
+                                      block_rows=8, mode="staircase",
+                                      kernel="pallas")
+    assert log_x == log_p
+    np.testing.assert_array_equal(out_x, out_p)
