@@ -198,6 +198,32 @@ def clique_coverage(gd: GroupData, clique: list[int],
     return m > c
 
 
+def core_cutoff(gr: int) -> int:
+    """Core_Cutoff (:1589-1597); unused by the product path."""
+    if gr < 100:
+        p = 0.77
+    elif gr < 1000:
+        p = 0.83
+    elif gr < 2000:
+        p = 0.90
+    else:
+        p = 0.93
+    return int(p * gr)
+
+
+def core_group(gd: GroupData, clique: list[int], c: int) -> np.ndarray:
+    """CoreGroup (:1011-1062): adaptive cutoff = first membership level
+    whose group size drops to <= c; unused by the product path."""
+    upto = clique_len(clique)
+    m = membership_counts(gd, clique, upto)
+    histo = np.array([(m > t).sum() for t in range(max(upto, 1))],
+                     np.int64)
+    i = 0
+    while i < len(histo) and histo[i] > c:
+        i += 1
+    return m > i
+
+
 def best_cutoff(n: int, nn: int, v: int, p: float, pp: float) -> int:
     """BestCutoff (:530-548); result unused by the product path."""
     bestc, bestscore = 0, 0.0

@@ -110,6 +110,25 @@ def tree_copies(rng: np.random.Generator, seq: np.ndarray, copynumber: int,
             for c in current[:copynumber]]
 
 
+def gradient_copies(rng: np.random.Generator, seq: np.ndarray,
+                    copynumber: int,
+                    difference: float) -> list[np.ndarray]:
+    """DataSimulator.py:52-69 (unused by the reference main, kept for
+    parity of capability): each copy mutated from the PREVIOUS one with
+    d * len(seq) SNPs — a linear divergence gradient."""
+    snps = int(len(seq) * difference)
+    out = [np.asarray(seq, np.uint8)]
+    for _ in range(copynumber - 1):
+        copy = bytearray(out[-1].tobytes())
+        for _t in range(snps):
+            position = int(rng.random() * len(copy))
+            if position >= len(copy):
+                continue
+            _mutate(rng, copy, position)
+        out.append(np.frombuffer(bytes(copy), dtype=np.uint8))
+    return out
+
+
 def equidistant_copies(rng: np.random.Generator, seq: np.ndarray,
                        copynumber: int,
                        difference: float) -> list[np.ndarray]:
@@ -164,6 +183,7 @@ STRUCTURES = {
     "Tree": tree_copies,
     "EquiDistant": equidistant_copies,
     "Distributed": distributed_copies,
+    "Gradient": gradient_copies,
 }
 
 

@@ -29,7 +29,11 @@ class PipelineResult:
 
 
 def run_pipeline(cfg: PipelineConfig, workdir: str,
-                 progress=print) -> PipelineResult:
+                 progress=print,
+                 profile_dir: str | None = None) -> PipelineResult:
+    """profile_dir: when set, a jax.profiler trace of the realignment
+    phase is written there (the reference's only tracing is wall-clock
+    prints, SURVEY.md §5)."""
     os.makedirs(workdir, exist_ok=True)
     ds = simulator.simulate(cfg.simulator)
     paths = ds.write(workdir)
@@ -62,6 +66,9 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     msareal_path = os.path.join(workdir, name + "_MSAreal")
     log: list = []
     rstats: dict = {}
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
     if cfg.realigner.block_rows > 1:
         best = realigner.realign_batched(
             msa, cfg.realigner, out_path=msareal_path, score_log=log,
@@ -70,6 +77,9 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     else:
         best = realigner.realign(msa, cfg.realigner,
                                  out_path=msareal_path, score_log=log)
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
     paths["msareal"] = msareal_path
     progress(f"[realign] {len(log) - 1} rounds, score "
              f"{log[0]} -> {log[-1]}, width {best.shape[1]}"
