@@ -75,6 +75,9 @@ class RealignerConfig:
     # TPU-native extensions (no reference equivalent):
     block_rows: int = 1        # rows realigned per Jacobi block; 1 == exact
                                # Gauss-Seidel reference trajectory
+    mode: str = "exact"        # "exact" reference band | "staircase"
+                               # chunked band (turbo; ops/staircase_realign)
+    kernel: str = "xla"        # "xla" | "pallas" (staircase only)
     checkpoint_every_round: bool = True  # best-MSA persistence semantics of
                                # PW_ReAligner.c:1741
 

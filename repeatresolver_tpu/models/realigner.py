@@ -498,7 +498,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     stats: dict | None = None,
                     validate: bool = False,
                     mode: str = "exact",
-                    kernel: str = "xla") -> np.ndarray:
+                    kernel: str = "xla",
+                    score_log_path: str | None = None) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
     realign(). With checkpoint_path, state is saved atomically per
     improving round (the reference's best-MSA-per-round semantics,
@@ -530,6 +531,12 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         pair = eng.overall_pair()
         if score_log is not None:
             score_log.append(pair)
+        if score_log_path is not None:
+            # OverallScorePrintF format: round score width
+            # (PW_ReAligner.c:965-1007)
+            with open(score_log_path, "a") as f:
+                f.write(f"{rounds} {pair[0]}{pair[1]:06d} "
+                        f"{eng.msa.shape[1]}\n")
         if pair < best:
             best = pair
             best_msa = eng.msa.copy()

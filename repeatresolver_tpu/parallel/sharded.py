@@ -49,9 +49,15 @@ def sharded_realign_step(mesh: Mesh, ncols: int, bandwidth: int):
         codes, fband, fanf = br.banded_fill(
             counts, rows_old, seqs, ways, lengths,
             jnp.int32(ncols), bandwidth=bandwidth)
+        bh = bandwidth // 2
+        anf_full = jnp.maximum(0, ways - bh)
+        last_way = jnp.take_along_axis(
+            ways, jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+        entry_bound = jnp.maximum(-1, last_way - bh)
         new_rows, best, iy, ib, inn = br.entry_and_backtrack(
-            codes, fband, fanf, seqs, ways, lengths, jnp.int32(ncols),
-            cpad=rows_old.shape[1], bandwidth=bandwidth)
+            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
+            jnp.int32(ncols), cpad=rows_old.shape[1],
+            bandwidth=bandwidth)
 
         def hist(rows):
             return (rows[:, :, None] ==

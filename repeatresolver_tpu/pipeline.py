@@ -73,7 +73,8 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
         best = realigner.realign_batched(
             msa, cfg.realigner, out_path=msareal_path, score_log=log,
             checkpoint_path=os.path.join(workdir, name + "_realign.ckpt"),
-            stats=rstats)
+            stats=rstats, mode=cfg.realigner.mode,
+            kernel=cfg.realigner.kernel)
     else:
         best = realigner.realign(msa, cfg.realigner,
                                  out_path=msareal_path, score_log=log)
@@ -103,16 +104,26 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     paths["maxcorrs"] = mc_path
     progress(f"[maxcorr] {int((mc > 0).sum())} nonzero of {len(mc)}")
 
-    for von, bis in zip(bounds[:-1], bounds[1:]):
-        out = resolver.resolve_window(msareal, mc, von, bis,
-                                      cfg.resolver)
-        for kind, u in out.items():
-            p = os.path.join(workdir, rio.subdivision_path(
-                kind, von, bis, os.path.basename(msareal_path)))
-            rio.write_subdivision(p, u)
-        res.window_results[(von, bis)] = out
-        nclusters = int(out["Kmeans"].max()) + 1
-        progress(f"[resolve {von}-{bis}] {nclusters} kmeans clusters")
+    # Windows are independent (the reference's operator-level
+    # parallelism, Window.py + README.md:104-106): resolve concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+    windows = list(zip(bounds[:-1], bounds[1:]))
+
+    def resolve_one(vb):
+        von, bis = vb
+        return vb, resolver.resolve_window(msareal, mc, von, bis,
+                                           cfg.resolver)
+
+    with ThreadPoolExecutor(max_workers=min(4, len(windows))) as ex:
+        for (von, bis), out in ex.map(resolve_one, windows):
+            for kind, u in out.items():
+                p = os.path.join(workdir, rio.subdivision_path(
+                    kind, von, bis, os.path.basename(msareal_path)))
+                rio.write_subdivision(p, u)
+            res.window_results[(von, bis)] = out
+            nclusters = int(out["Kmeans"].max()) + 1
+            progress(f"[resolve {von}-{bis}] {nclusters} kmeans "
+                     f"clusters")
 
     # Assessment needs seq2read indices restricted to the MSAreal rows.
     sd = assessment.SimDataset.load(workdir)
