@@ -154,3 +154,169 @@ int64_t realign_backtrack(const uint8_t* codes, const int32_t* ways,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Full realignment block: banded DP fill + backtrack per row, fused.
+// Exact reference band semantics (same as ops/banded_realign.py):
+// per-position band start anf(x) = max(0, way[x] - W/2), jump rule for
+// off-band-above reads, backtracker code priority gap > flat-space >
+// diagonal > insert, entry scan ties -> largest column.
+//
+// counts: int32 [C, 6]; rows_old: int8 [B, C]; seqs: int8 [B, L];
+// ways: int32 [B, L]; lengths: int32 [B].
+// Outputs per row: new_rows int8 [B, C] (caller preset to 5),
+// ins_y/ins_base [B, K], ins_n [B], best int64 [B].
+// Scratch (caller-allocated, per thread reuse is internal):
+// none — each row allocates its own band matrix of L*W int64? too big;
+// we keep two band rows + a codes matrix [L, W] uint8 per row.
+#include <cstdlib>
+#include <vector>
+
+static inline int64_t imax64(int64_t a, int64_t b) { return a > b ? a : b; }
+static inline int64_t imin64(int64_t a, int64_t b) { return a < b ? a : b; }
+
+extern "C" {
+
+void realign_block_native(const int32_t* counts, const int8_t* rows_old,
+                          const int8_t* seqs, const int32_t* ways,
+                          const int32_t* lengths, int64_t b, int64_t c,
+                          int64_t l, int64_t w, int8_t* new_rows,
+                          int64_t* best_out, int32_t* ins_y,
+                          int8_t* ins_base, int32_t* ins_n,
+                          int64_t ins_cap)
+{
+    const int64_t BIGV = (int64_t)1 << 40;
+    const int64_t bh = w / 2;
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int64_t r = 0; r < b; r++) {
+        const int8_t* own = rows_old + r * c;
+        const int8_t* seq = seqs + r * l;
+        const int32_t* way = ways + r * l;
+        int64_t len = lengths[r];
+        int8_t* out = new_rows + r * c;
+        ins_n[r] = 0;
+        best_out[r] = 0;
+        if (len <= 0) continue;
+
+        // per-row cost arrays (own contribution removed)
+        std::vector<int64_t> ns(c), gap(c), ins(c), gp(c + 1);
+        std::vector<const int32_t*> cnt(c);
+        gp[0] = 0;
+        for (int64_t y = 0; y < c; y++) {
+            const int32_t* cy = counts + y * 6;
+            int64_t nsy = (int64_t)cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
+                          - (own[y] < 5 ? 1 : 0);
+            ns[y] = nsy;
+            gap[y] = nsy - (cy[4] - (own[y] == 4 ? 1 : 0));
+            gp[y + 1] = gp[y] + gap[y];
+        }
+        ins[0] = ns[0];
+        for (int64_t y = 1; y < c; y++)
+            ins[y] = imax64(ns[y], ns[y - 1]);
+
+        std::vector<uint8_t> codes((size_t)(len * w));
+        std::vector<int64_t> prev(w, 0), cur(w, 0);
+        int64_t prev_anf = 0;
+
+        for (int64_t x = 0; x < len; x++) {
+            int64_t anf = way[x] - bh; if (anf < 0) anf = 0;
+            int64_t end = imin64(c, anf + w);
+            int8_t s = seq[x];
+            int64_t ptop = prev_anf + w - 1;
+            int64_t left = BIGV;
+            uint8_t* crow = codes.data() + (size_t)(x * w);
+            for (int64_t y = anf; y < end; y++) {
+                const int32_t* cy = counts + y * 6;
+                int64_t sub = ns[y] - ((int64_t)cy[s]
+                                       - (own[y] == s ? 1 : 0));
+                int64_t dprev, uprev;
+                if (x == 0) { dprev = 0; uprev = 0; }
+                else {
+                    int64_t jm = y - 1 - prev_anf;
+                    if (jm < 0) dprev = BIGV;
+                    else if (jm < w) dprev = prev[jm];
+                    else dprev = prev[w - 1] + (gp[y] - gp[ptop + 1]);
+                    int64_t j0 = y - prev_anf;
+                    if (j0 < 0) uprev = BIGV;
+                    else if (j0 < w) uprev = prev[j0];
+                    else uprev = prev[w - 1] + (gp[y + 1] - gp[ptop + 1]);
+                }
+                int64_t diag = dprev + sub;
+                int64_t a = diag;
+                if (y > 0 && y < c - 1) {
+                    int64_t iv = uprev + ins[y];
+                    if (iv < a) a = iv;
+                }
+                int64_t lv = left + gap[y];
+                int64_t m = a < lv ? a : lv;
+                uint8_t code;
+                if (m == left + gap[y] ||
+                    (x == len - 1 && m == left))
+                    code = 0;
+                else if (m == diag)
+                    code = 1;
+                else
+                    code = 2;
+                crow[y - anf] = code;
+                cur[y - anf] = m;
+                left = m;
+            }
+            for (int64_t j = end - anf; j < w; j++) cur[j] = BIGV;
+            std::swap(prev, cur);
+            prev_anf = anf;
+        }
+
+        // entry scan: min over y in (bound, c-1], ties -> largest y
+        int64_t last_anf = way[len - 1] - bh; if (last_anf < 0) last_anf = 0;
+        int64_t bound = way[len - 1] - bh; if (bound < -1) bound = -1;
+        int64_t ltop = last_anf + w - 1;
+        auto read_final = [&](int64_t y) -> int64_t {
+            int64_t j = y - last_anf;
+            if (j < 0) return BIGV;
+            if (j >= w) return prev[w - 1];   // flat (x == len-1)
+            return prev[j];
+        };
+        int64_t wayin = c - 1;
+        int64_t best = read_final(c - 1);
+        for (int64_t y = c - 1; y > bound; y--) {
+            int64_t v = read_final(y);
+            if (v < best) { best = v; wayin = y; }
+        }
+        best_out[r] = best;
+
+        // backtrack
+        int64_t x = len - 1, y = wayin, n = 0;
+        while (x > -1 && y > -1) {
+            int64_t anf = way[x] - bh; if (anf < 0) anf = 0;
+            int64_t top = anf + w - 1;
+            int is_last = (x == len - 1);
+            if (y > top) {
+                if (!is_last) out[y] = 4;
+                y--;
+                continue;
+            }
+            if (y < anf) break;  // unreachable on valid paths
+            uint8_t code = codes[(size_t)(x * w + (y - anf))];
+            if (code == 0) {
+                if (!is_last) out[y] = 4;
+                y--;
+            } else if (code == 1) {
+                out[y] = seq[x];
+                x--; y--;
+            } else {
+                if (n < ins_cap) {
+                    ins_y[r * ins_cap + n] = (int32_t)y;
+                    ins_base[r * ins_cap + n] = seq[x];
+                }
+                n++;
+                x--;
+            }
+        }
+        ins_n[r] = (int32_t)n;
+    }
+}
+
+}  // extern "C"

@@ -77,7 +77,8 @@ class RealignerConfig:
                                # Gauss-Seidel reference trajectory
     mode: str = "exact"        # "exact" reference band | "staircase"
                                # chunked band (turbo; ops/staircase_realign)
-    kernel: str = "xla"        # "xla" | "pallas" (staircase only)
+    kernel: str = "auto"       # auto | xla | pallas (staircase) |
+                               # native (C++ host kernel, exact mode)
     checkpoint_every_round: bool = True  # best-MSA persistence semantics of
                                # PW_ReAligner.c:1741
 

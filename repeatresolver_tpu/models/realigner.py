@@ -322,7 +322,9 @@ class BatchedRealigner:
                  block_rows: int = 8, mode: str = "exact",
                  chunk: int = 256, kernel: str = "xla"):
         assert mode in ("exact", "staircase")
-        assert kernel in ("xla", "pallas")
+        assert kernel in ("xla", "pallas", "native", "auto")
+        if kernel == "auto":
+            kernel = "xla"
         self.msa = np.ascontiguousarray(msa, dtype=np.int8)
         self.counts = symbol_counts(self.msa)
         self.bandwidth = bandwidth
@@ -390,6 +392,19 @@ class BatchedRealigner:
             ways[b, :lengths[b]] = way_list[b]
             if lengths[b] and lengths[b] < lpad:
                 ways[b, lengths[b]:] = way_list[b][-1]
+        if self.kernel == "native" and self.mode == "exact":
+            from ..utils import native as nat
+            res = nat.realign_block(counts.astype(np.int32), rows_old,
+                                    seqs, ways, lengths,
+                                    self.bandwidth)
+            if res is not None:
+                new_rows, best, iy, ib, inn = res
+                if (inn >= iy.shape[1]).any():
+                    raise RuntimeError("insert buffer overflow")
+                self._apply_block(rows, rows_old, new_rows, iy, ib,
+                                  inn)
+                return
+
         counts_p = np.zeros((cpad, 6), np.int32)
         counts_p[:c] = counts
         rows_p = np.full((bs, cpad), 5, np.int8)
@@ -451,8 +466,15 @@ class BatchedRealigner:
         if (inn >= br.MAX_INSERTS).any():
             raise RuntimeError("insert buffer overflow; raise "
                                "MAX_INSERTS or use the serial engine")
+        self._apply_block(rows, rows_old, new_rows, iy, ib, inn)
 
-        # block apply: replace rows, update counts incrementally
+    def _apply_block(self, rows, rows_old, new_rows, iy, ib, inn):
+        """Replace rows, update counts incrementally, splice inserted
+        columns (each its own column, reference semantics; fills use
+        the post-placement neighbor rule, which for chained same-gap
+        inserts equals the reference's chained rule)."""
+        msa, counts = self.msa, self.counts
+        c = msa.shape[1]
         for b, k in enumerate(rows):
             old = msa[k]
             new = new_rows[b]
@@ -460,10 +482,7 @@ class BatchedRealigner:
                            1)
             np.add.at(counts, (np.arange(c), new.astype(np.int64)), 1)
             msa[k] = new
-        # inserts: each is its own column (reference semantics); fills
-        # for other rows use the post-placement neighbor rule, which for
-        # chained same-gap inserts equals the reference's chained rule.
-        all_ins = []  # (gap, order, row, base)
+        all_ins = []  # (gap, row order, discovery order, row, base)
         for b, k in enumerate(rows):
             n = int(inn[b])
             for o in range(n):
@@ -517,6 +536,11 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         start_round = c.round
         best = (c.best_mille, c.best_uno)
 
+    if kernel == "auto":
+        import jax
+        kernel = ("native" if jax.default_backend() == "cpu"
+                  and mode == "exact" else
+                  "xla")
     eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
                            block_rows=block_rows or cfg.block_rows,
                            mode=mode, kernel=kernel)

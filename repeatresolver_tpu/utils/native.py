@@ -41,6 +41,11 @@ def get_lib():
         lib.editdp_backtrack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             i64, i64, i64, ctypes.c_void_p]
+        lib.realign_block_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, i64]
         lib.realign_backtrack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
@@ -97,3 +102,31 @@ def editdp_backtrack(codes: np.ndarray, qlens: np.ndarray,
     lib.editdp_backtrack(_ptr(codes), _ptr(ql), _ptr(en), b, lq, lt,
                          _ptr(out))
     return out
+
+
+def realign_block(counts, rows_old, seqs, ways, lengths, bandwidth,
+                  ins_cap=512):
+    """Fused native banded fill + backtrack for a block. Returns
+    (new_rows int8 [B, C] with 5 default, best int64 [B],
+    ins_y [B, K], ins_base [B, K], ins_n [B]) or None if the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "realign_block_native"):
+        return None
+    counts = np.ascontiguousarray(counts, np.int32)
+    rows_old = np.ascontiguousarray(rows_old, np.int8)
+    seqs = np.ascontiguousarray(seqs, np.int8)
+    ways = np.ascontiguousarray(ways, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    b, c = rows_old.shape
+    l = seqs.shape[1]
+    new_rows = np.full((b, c), 5, np.int8)
+    best = np.zeros(b, np.int64)
+    iy = np.zeros((b, ins_cap), np.int32)
+    ib = np.zeros((b, ins_cap), np.int8)
+    inn = np.zeros(b, np.int32)
+    lib.realign_block_native(_ptr(counts), _ptr(rows_old), _ptr(seqs),
+                             _ptr(ways), _ptr(lengths), b, c, l,
+                             bandwidth, _ptr(new_rows), _ptr(best),
+                             _ptr(iy), _ptr(ib), _ptr(inn), ins_cap)
+    return new_rows, best, iy, ib, inn

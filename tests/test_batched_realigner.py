@@ -85,3 +85,28 @@ def test_staircase_pallas_kernel_matches_xla_engine():
                                       kernel="pallas")
     assert log_x == log_p
     np.testing.assert_array_equal(out_x, out_p)
+
+
+def test_native_kernel_matches_serial_block1():
+    msa = make_msa(17, rows=12, tlen=220)
+    cfg = RealignerConfig(bandwidth=96)
+    log_s: list = []
+    out_s = realigner.realign(msa.copy(), cfg, score_log=log_s)
+    log_n: list = []
+    out_n = realigner.realign_batched(msa.copy(), cfg, score_log=log_n,
+                                      block_rows=1, kernel="native")
+    assert log_s == log_n
+    np.testing.assert_array_equal(out_s, out_n)
+
+
+def test_native_kernel_matches_xla_blocked():
+    msa = make_msa(19, rows=14, tlen=240)
+    cfg = RealignerConfig(bandwidth=96)
+    log_x: list = []
+    out_x = realigner.realign_batched(msa.copy(), cfg, score_log=log_x,
+                                      block_rows=4, kernel="xla")
+    log_n: list = []
+    out_n = realigner.realign_batched(msa.copy(), cfg, score_log=log_n,
+                                      block_rows=4, kernel="native")
+    assert log_x == log_n
+    np.testing.assert_array_equal(out_x, out_n)
