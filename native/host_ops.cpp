@@ -170,6 +170,7 @@ int64_t realign_backtrack(const uint8_t* codes, const int32_t* ways,
 // none — each row allocates its own band matrix of L*W int64? too big;
 // we keep two band rows + a codes matrix [L, W] uint8 per row.
 #include <cstdlib>
+#include <limits>
 #include <vector>
 
 static inline int64_t imax64(int64_t a, int64_t b) { return a > b ? a : b; }
@@ -316,6 +317,128 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
             }
         }
         ins_n[r] = (int32_t)n;
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Glocal full-DP alignment of sequences to a template with traceback
+// (InitialAligner.c IntoAligner semantics: move codes with tie priority
+// diagonal > consume-template > consume-query, entry scan over columns
+// [1, T-1] descending with strict '<', alignments[i] = template column
+// of base i or -1). OpenMP over sequences; per-thread full code matrix.
+extern "C" {
+
+void initial_align_native(const int8_t* tmpl, int64_t tlen,
+                          const int8_t* seqs, const int32_t* lengths,
+                          int64_t b, int64_t lmax,
+                          int32_t* alignments /* [b, lmax] */,
+                          double* errors /* [b] */)
+{
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> row((size_t)tlen + 1);
+        std::vector<uint8_t> codes;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t r = 0; r < b; r++) {
+            const int8_t* q = seqs + r * lmax;
+            int32_t* out = alignments + r * lmax;
+            int64_t lq = lengths[r];
+            for (int64_t i = 0; i < lmax; i++) out[i] = -1;
+            if (lq <= 0) {
+                errors[r] = std::numeric_limits<double>::quiet_NaN();
+                continue;
+            }
+            codes.resize((size_t)(lq * tlen));
+            // row[j] = M[x][j-1]; row[0] = M[x][-1] = x+1
+            for (int64_t j = 0; j <= tlen; j++) row[j] = 0;
+            for (int64_t x = 0; x < lq; x++) {
+                int32_t diagv = (int32_t)x;  // M[x-1][-1]
+                row[0] = (int32_t)(x + 1);
+                uint8_t* crow = codes.data() + (size_t)(x * tlen);
+                int8_t qx = q[x];
+                for (int64_t j = 1; j <= tlen; j++) {
+                    int m = (qx != tmpl[j - 1]);
+                    int32_t e = diagv + m;
+                    uint8_t code = m ? 0 : 3;
+                    if (row[j - 1] + 1 < e) {       // consume template
+                        e = row[j - 1] + 1;
+                        code = 1;
+                    }
+                    if (row[j] + 1 < e) {           // consume query
+                        e = row[j] + 1;
+                        code = 2;
+                    }
+                    diagv = row[j];
+                    row[j] = e;
+                    crow[j - 1] = code;
+                }
+            }
+            // entry scan: columns T-1 .. 1, strict '<' (ties -> largest)
+            int64_t entry = tlen - 1;
+            int32_t mn = row[tlen];
+            // reference scans columns tlen-1 .. 1 (col 0 excluded)
+            for (int64_t j = tlen; j > 1; j--) {
+                if (row[j] < mn) { mn = row[j]; entry = j - 1; }
+            }
+            errors[r] = (double)mn / (double)lq;
+            // backtrack
+            int64_t x = lq - 1, y = entry;
+            while (x > -1 && y > -1) {
+                uint8_t code = codes[(size_t)(x * tlen + y)];
+                if (code == 0 || code == 3) { out[x] = (int32_t)y; x--; y--; }
+                else if (code == 1) { y--; }
+                else { x--; }
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Glocal last-DP-row of a template part vs a batch of reads
+// (ReadCutter.c Occurrence fill). Rolling row, no traceback.
+extern "C" {
+
+void occurrence_rows_native(const int8_t* part, int64_t plen,
+                            const int8_t* reads, const int32_t* rlens,
+                            int64_t b, int64_t lmax,
+                            int32_t* out /* [b, lmax] */)
+{
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> row((size_t)lmax + 1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t r = 0; r < b; r++) {
+            const int8_t* t = reads + r * lmax;
+            int64_t n = rlens[r];
+            int32_t* o = out + r * lmax;
+            for (int64_t j = 0; j <= n; j++) row[j] = 0;
+            for (int64_t x = 0; x < plen; x++) {
+                int32_t diagv = (int32_t)x;
+                row[0] = (int32_t)(x + 1);
+                int8_t px = part[x];
+                for (int64_t j = 1; j <= n; j++) {
+                    int32_t e = diagv + (px != t[j - 1]);
+                    if (row[j - 1] + 1 < e) e = row[j - 1] + 1;
+                    if (row[j] + 1 < e) e = row[j] + 1;
+                    diagv = row[j];
+                    row[j] = e;
+                }
+            }
+            for (int64_t j = 0; j < n; j++) o[j] = row[j + 1];
+            for (int64_t j = n; j < lmax; j++) o[j] = 0;
+        }
     }
 }
 

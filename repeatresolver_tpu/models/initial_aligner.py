@@ -37,12 +37,42 @@ class InitialMSAResult:
 
 
 def align_all(template: np.ndarray, seqs: list[np.ndarray],
-              batch_size: int = 16) -> tuple[list[np.ndarray], np.ndarray]:
-    """IntoAligner over all seqs: alignments + error rates."""
+              batch_size: int = 16,
+              use_native: bool | None = None
+              ) -> tuple[list[np.ndarray], np.ndarray]:
+    """IntoAligner over all seqs: alignments + error rates.
+
+    use_native=None auto-selects the C++ kernel on CPU backends (same
+    semantics, tested); the device path is used on accelerators."""
     tlen = len(template)
     n = len(seqs)
     errors = np.full(n, np.nan)
     alignments: list[np.ndarray] = [np.empty(0, np.int32)] * n
+
+    if use_native is None:
+        import jax
+        use_native = jax.default_backend() == "cpu"
+    if use_native and n:
+        from ..utils import native as nat
+        done = True
+        for lo in range(0, n, 512):
+            chunk = seqs[lo:lo + 512]
+            lens = np.array([len(s) for s in chunk], np.int32)
+            lmax = max(1, int(lens.max()))
+            padded = np.full((len(chunk), lmax), 100, np.int8)
+            for i, s in enumerate(chunk):
+                padded[i, :len(s)] = s
+            res = nat.initial_align(template.astype(np.int8), padded,
+                                    lens)
+            if res is None:
+                done = False
+                break
+            aligned, errs = res
+            for i in range(len(chunk)):
+                alignments[lo + i] = aligned[i, :lens[i]].copy()
+                errors[lo + i] = errs[i]
+        if done:
+            return alignments, errors
     order = np.argsort([len(s) for s in seqs], kind="stable")
     # Length-sorted batches; pad every batch to fixed bucket shapes so
     # XLA compiles once per bucket, not once per batch.

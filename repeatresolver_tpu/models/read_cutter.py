@@ -167,19 +167,38 @@ def cut_reads(template: np.ndarray, reads: list[np.ndarray],
     lt = max(1, int(readlens.max()))
     n = len(reads)
 
-    # Batched final DP rows: query = part, target = read.
+    # Batched final DP rows: query = part, target = read. Native C++
+    # kernel on CPU backends; device wavefront DP otherwise.
+    import jax
+
+    from ..utils import native as nat
     rows0 = np.empty((n, lt), np.int32)
     rows_last = np.empty((n, lt), np.int32)
-    for lo in range(0, n, batch_size):
-        hi = min(n, lo + batch_size)
-        tgt = np.full((batch_size, lt), 200, np.int16)
-        for j in range(lo, hi):
-            tgt[j - lo, :readlens[j]] = reads[j]
+    use_native = jax.default_backend() == "cpu" and \
+        nat.get_lib() is not None
+    if use_native:
+        padded = np.full((n, lt), 99, np.int8)
+        for j in range(n):
+            padded[j, :readlens[j]] = reads[j]
         for part, dst in ((part_first, rows0), (part_last, rows_last)):
-            q = np.broadcast_to(part[None, :], (batch_size, plen))
-            qlens = np.full(batch_size, plen, np.int32)
-            dst[lo:hi] = np.asarray(
-                editdp.last_rows(q, qlens, tgt))[:hi - lo]
+            res = nat.occurrence_rows(part.astype(np.int8), padded,
+                                      readlens)
+            if res is None:
+                use_native = False
+                break
+            dst[:] = res
+    if not use_native:
+        for lo in range(0, n, batch_size):
+            hi = min(n, lo + batch_size)
+            tgt = np.full((batch_size, lt), 200, np.int16)
+            for j in range(lo, hi):
+                tgt[j - lo, :readlens[j]] = reads[j]
+            for part, dst in ((part_first, rows0),
+                              (part_last, rows_last)):
+                q = np.broadcast_to(part[None, :], (batch_size, plen))
+                qlens = np.full(batch_size, plen, np.int32)
+                dst[lo:hi] = np.asarray(
+                    editdp.last_rows(q, qlens, tgt))[:hi - lo]
 
     cutting_points: list[list[int]] = []
     for j in range(n):

@@ -46,6 +46,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, i64]
+        lib.occurrence_rows_native.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
+            i64, i64, ctypes.c_void_p]
+        lib.initial_align_native.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
+            i64, i64, ctypes.c_void_p, ctypes.c_void_p]
         lib.realign_backtrack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
@@ -130,3 +136,38 @@ def realign_block(counts, rows_old, seqs, ways, lengths, bandwidth,
                              bandwidth, _ptr(new_rows), _ptr(best),
                              _ptr(iy), _ptr(ib), _ptr(inn), ins_cap)
     return new_rows, best, iy, ib, inn
+
+
+def initial_align(template, seqs_padded, lengths):
+    """Native glocal full-DP alignment batch. Returns (alignments
+    int32 [B, Lmax] (-1 padded), errors float64 [B]) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "initial_align_native"):
+        return None
+    template = np.ascontiguousarray(template, np.int8)
+    seqs_padded = np.ascontiguousarray(seqs_padded, np.int8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    b, lmax = seqs_padded.shape
+    out = np.zeros((b, lmax), np.int32)
+    err = np.zeros(b, np.float64)
+    lib.initial_align_native(_ptr(template), len(template),
+                             _ptr(seqs_padded), _ptr(lengths), b, lmax,
+                             _ptr(out), _ptr(err))
+    return out, err
+
+
+def occurrence_rows(part, reads_padded, rlens):
+    """Native last-DP-rows of a template part vs padded reads.
+    Returns int32 [B, Lmax] or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "occurrence_rows_native"):
+        return None
+    part = np.ascontiguousarray(part, np.int8)
+    reads_padded = np.ascontiguousarray(reads_padded, np.int8)
+    rlens = np.ascontiguousarray(rlens, np.int32)
+    b, lmax = reads_padded.shape
+    out = np.zeros((b, lmax), np.int32)
+    lib.occurrence_rows_native(_ptr(part), len(part),
+                               _ptr(reads_padded), _ptr(rlens), b, lmax,
+                               _ptr(out))
+    return out

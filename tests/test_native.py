@@ -90,3 +90,27 @@ def test_editdp_backtrack_parity(lib):
     a_python = editdp.backtrack_batch(codes, np.array(lens), entries,
                                       use_native=False)
     np.testing.assert_array_equal(a_native, a_python)
+
+
+def test_initial_align_native_matches_device(lib):
+    import jax
+
+    from repeatresolver_tpu.models import initial_aligner as ia
+    rng = np.random.default_rng(7)
+    tmpl = rng.integers(0, 4, 120).astype(np.int16)
+    seqs = []
+    for lq in (30, 55, 80, 0, 100):
+        if lq == 0:
+            seqs.append(np.empty(0, np.int16))
+            continue
+        start = rng.integers(0, 30)
+        q = tmpl[start:start + lq].copy()
+        mut = rng.random(len(q)) < 0.1
+        q[mut] = rng.integers(0, 4, mut.sum())
+        seqs.append(q)
+    a_nat, e_nat = ia.align_all(tmpl, seqs, use_native=True)
+    a_dev, e_dev = ia.align_all(tmpl, seqs, use_native=False)
+    for x, y in zip(a_nat, a_dev):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_allclose(
+        np.nan_to_num(e_nat, nan=-1), np.nan_to_num(e_dev, nan=-1))
