@@ -45,8 +45,12 @@ def group_matrices(msa: np.ndarray):
 
 def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
                      tile: int = 256,
-                     matmul=np.matmul) -> np.ndarray:
-    """MaxCorrs for a full MSA -> float64 [C*5]."""
+                     matmul=np.matmul, fast: bool = False) -> np.ndarray:
+    """MaxCorrs for a full MSA -> float64 [C*5].
+
+    fast=True uses the mode-gated fixed-term significance
+    (hypergeom.positive_significance_fast): identical cutoff decisions,
+    ~20x cheaper; fast=False is the exact golden-parity path."""
     msa = np.asarray(msa)
     r, c = msa.shape
     signumber = r
@@ -80,7 +84,9 @@ def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
             j1 = min(c, j0 + tile)
             tj = j1 - j0
             cj = coverage[j0:j1]
-            shared = matmul(ci, cj.T).astype(np.int64)   # [ti, tj]
+            # counts are small ints: f32 matmul results are exact;
+            # full-tile astype copies are the single biggest cost.
+            shared = matmul(ci, cj.T)                    # [ti, tj] f32
             ii = np.arange(i0, i1)[:, None]
             jj = np.arange(j0, j1)[None, :]
             valid = jj >= ii + gap
@@ -91,9 +97,9 @@ def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
             if not allowed.any():
                 continue
             gj = groups[j0 * 5:j1 * 5]
-            schnitt = matmul(gi, gj.T).astype(np.int64)  # [ti*5, tj*5]
-            gr1 = matmul(gi, cj.T).astype(np.int64)      # [ti*5, tj]
-            gr2 = matmul(ci, gj.T).astype(np.int64)      # [ti, tj*5]
+            schnitt = matmul(gi, gj.T)                   # [ti*5, tj*5]
+            gr1 = matmul(gi, cj.T)                       # [ti*5, tj]
+            gr2 = matmul(ci, gj.T)                       # [ti, tj*5]
 
             pair_ok = (allowed[:, None, :, None]
                        & seed_ok[i0:i1][:, :, None, None]
@@ -101,17 +107,24 @@ def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
             pi, pk, pj, pkk = np.nonzero(pair_ok)
             if pi.size == 0:
                 continue
-            s_ = schnitt[pi * 5 + pk, pj * 5 + pkk]
-            g1 = gr1[pi * 5 + pk, pj]
-            g2 = gr2[pi, pj * 5 + pkk]
-            cv = shared[pi, pj]
+            s_ = schnitt[pi * 5 + pk, pj * 5 + pkk].astype(np.int64)
+            g1 = gr1[pi * 5 + pk, pj].astype(np.int64)
+            g2 = gr2[pi, pj * 5 + pkk].astype(np.int64)
+            cv = shared[pi, pj].astype(np.int64)
             sz1 = sizes_flat[(pi + i0) * 5 + pk]
             sz2 = sizes_flat[(pj + j0) * 5 + pkk]
-            z = hg.positive_significance(s_, g1, g2, cv, sz1, sz2)
-            gi_idx = (pi + i0) * 5 + pk
-            gj_idx = (pj + j0) * 5 + pkk
-            np.maximum.at(maxcorrs, gi_idx, z)
-            np.maximum.at(maxcorrs, gj_idx, z)
+            if fast:
+                z = hg.positive_significance_fast(s_, g1, g2, cv, sz1,
+                                                  sz2)
+            else:
+                z = hg.positive_significance(s_, g1, g2, cv, sz1, sz2)
+            # dense-tile max reduction (ufunc.at scatter is too slow)
+            zt = np.zeros((ti * 5, tj * 5), np.float32)
+            zt[pi * 5 + pk, pj * 5 + pkk] = z
+            np.maximum(maxcorrs[i0 * 5:i1 * 5], zt.max(axis=1),
+                       out=maxcorrs[i0 * 5:i1 * 5])
+            np.maximum(maxcorrs[j0 * 5:j1 * 5], zt.max(axis=0),
+                       out=maxcorrs[j0 * 5:j1 * 5])
     return maxcorrs
 
 

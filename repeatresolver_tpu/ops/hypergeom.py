@@ -183,3 +183,31 @@ def cum_hyp_geo_log(schnitt, gr1, gr2, cov):
     with np.errstate(divide="ignore"):
         z = -np.log10(chosen)
     return np.where(np.isinf(z) | (z > 99.0), 99.0, z)
+
+
+def positive_significance_fast(schnitt, gr1, gr2, cov, size1, size2,
+                               cap_base=98.0):
+    """Production fast path: mode-gated prefilter + exact evaluation.
+
+    Pairs at/below the distribution mode get Z = 0 — their true Z is
+    < ~0.5, far below any MaxCorrelation cutoff (>= 4), so significance
+    DECISIONS are identical to positive_significance and the stored
+    values of super-mode pairs are exact; only insignificant sub-mode
+    values differ (stored as 0). The prefilter removes both ~90% of the
+    evaluations and the slow-converging near-mode series.
+    """
+    s = np.atleast_1d(np.asarray(schnitt, np.float64))
+    k = np.broadcast_to(np.asarray(gr2, np.float64), s.shape)
+    n = np.broadcast_to(np.asarray(gr1, np.float64), s.shape)
+    nn = np.broadcast_to(np.asarray(cov, np.float64), s.shape)
+    s1 = np.broadcast_to(np.asarray(size1, np.float64), s.shape)
+    s2 = np.broadcast_to(np.asarray(size2, np.float64), s.shape)
+    mode = (n + 1.0) * (k + 1.0) / (nn + 2.0)
+    relevant = (s > mode) & (s >= 1) & (n > 0) & (k > 0)
+    out = np.zeros(s.shape, np.float64)
+    if relevant.any():
+        idx = np.nonzero(relevant)
+        out[idx] = positive_significance(
+            s[idx], n[idx], k[idx], nn[idx], s1[idx], s2[idx],
+            cap_base=cap_base)
+    return out

@@ -92,12 +92,19 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     res.boundaries = bounds
     progress(f"[window] boundaries {bounds}")
 
-    # Device path for big MSAs (the pairwise stats are matmul-bound);
-    # exact float64 host path for small ones.
-    if msareal.shape[1] * msareal.shape[0] > 4_000_000:
+    # Device path pays off when the row dimension makes the pairwise
+    # matmuls MXU-bound; the exact float64 host path wins for small
+    # problems (and always on CPU-only backends).
+    import jax
+    use_dev = (jax.default_backend() != "cpu"
+               and msareal.shape[0] >= 512
+               and msareal.shape[1] * msareal.shape[0] > 4_000_000)
+    if use_dev:
         mc = maxcorr.compute_maxcorrs_device(msareal, cfg.maxcorr)
     else:
-        mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr)
+        # fast host path: mode-gated prefilter — identical significance
+        # decisions, exact values for significant entries
+        mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr, fast=True)
     mc_path = os.path.join(workdir,
                            "MaxCorrsOf_" + os.path.basename(msareal_path))
     rio.write_maxcorrs(mc_path, mc)

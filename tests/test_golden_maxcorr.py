@@ -78,3 +78,14 @@ def test_device_path_matches_host(planted_msa):
     # ...and close values where significant (f32 + truncated series)
     sig = host > cutoff
     np.testing.assert_allclose(dev[sig], host[sig], rtol=2e-3, atol=5e-3)
+
+
+def test_fast_path_decisions_match_exact(planted_msa):
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    exact = maxcorr.compute_maxcorrs(msa, cfg)
+    fast = maxcorr.compute_maxcorrs(msa, cfg, fast=True)
+    cutoff = cfg.resolved_cutoff(msa.shape[1])
+    np.testing.assert_array_equal(exact > cutoff, fast > cutoff)
+    sig = exact > cutoff
+    np.testing.assert_allclose(fast[sig], exact[sig], atol=2e-6)
