@@ -202,70 +202,119 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
         best_out[r] = 0;
         if (len <= 0) continue;
 
-        // per-row cost arrays (own contribution removed)
-        std::vector<int64_t> ns(c), gap(c), ins(c), gp(c + 1);
-        std::vector<const int32_t*> cnt(c);
+        // per-row cost arrays (own contribution removed); int32 DP
+        // values (max path cost ~6e8 < 2^30 = BIG32) with contiguous
+        // per-symbol substitution costs for vectorization
+        const int32_t BIG32 = (int32_t)1 << 30;
+        std::vector<int32_t> gap(c), ins(c), gp(c + 1);
+        std::vector<int32_t> sub4((size_t)c * 4);  // planar [sym][C]
         gp[0] = 0;
         for (int64_t y = 0; y < c; y++) {
             const int32_t* cy = counts + y * 6;
-            int64_t nsy = (int64_t)cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
+            int32_t nsy = cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
                           - (own[y] < 5 ? 1 : 0);
-            ns[y] = nsy;
             gap[y] = nsy - (cy[4] - (own[y] == 4 ? 1 : 0));
             gp[y + 1] = gp[y] + gap[y];
+            for (int sym = 0; sym < 4; sym++)
+                sub4[(size_t)sym * c + y] =
+                    nsy - (cy[sym] - (own[y] == sym ? 1 : 0));
+            ins[y] = (y == 0) ? nsy : ins[y];  // placeholder
         }
-        ins[0] = ns[0];
-        for (int64_t y = 1; y < c; y++)
-            ins[y] = imax64(ns[y], ns[y - 1]);
+        {
+            const int32_t* cy0 = counts;
+            int32_t ns_prev = cy0[0] + cy0[1] + cy0[2] + cy0[3]
+                              + cy0[4] - (own[0] < 5 ? 1 : 0);
+            ins[0] = ns_prev;
+            for (int64_t y = 1; y < c; y++) {
+                const int32_t* cy = counts + y * 6;
+                int32_t nsy = cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
+                              - (own[y] < 5 ? 1 : 0);
+                ins[y] = nsy > ns_prev ? nsy : ns_prev;
+                ns_prev = nsy;
+            }
+        }
 
         std::vector<uint8_t> codes((size_t)(len * w));
-        std::vector<int64_t> prev(w, 0), cur(w, 0);
+        std::vector<int32_t> prev(w + 2, 0), cur(w + 2, 0);
+        std::vector<int32_t> diagv(w), av(w);
         int64_t prev_anf = 0;
 
         for (int64_t x = 0; x < len; x++) {
             int64_t anf = way[x] - bh; if (anf < 0) anf = 0;
             int64_t end = imin64(c, anf + w);
+            int64_t nw = end - anf;
             int8_t s = seq[x];
             int64_t ptop = prev_anf + w - 1;
-            int64_t left = BIGV;
             uint8_t* crow = codes.data() + (size_t)(x * w);
-            for (int64_t y = anf; y < end; y++) {
-                const int32_t* cy = counts + y * 6;
-                int64_t sub = ns[y] - ((int64_t)cy[s]
-                                       - (own[y] == s ? 1 : 0));
-                int64_t dprev, uprev;
-                if (x == 0) { dprev = 0; uprev = 0; }
-                else {
-                    int64_t jm = y - 1 - prev_anf;
-                    if (jm < 0) dprev = BIGV;
-                    else if (jm < w) dprev = prev[jm];
-                    else dprev = prev[w - 1] + (gp[y] - gp[ptop + 1]);
-                    int64_t j0 = y - prev_anf;
-                    if (j0 < 0) uprev = BIGV;
-                    else if (j0 < w) uprev = prev[j0];
-                    else uprev = prev[w - 1] + (gp[y + 1] - gp[ptop + 1]);
+
+            // pass 1: diagonal / insert candidates. The in-band body
+            // (no boundary branches) is a separate tight int32 loop
+            // the compiler can vectorize; boundaries handled outside.
+            int64_t d = anf - prev_anf;  // >= 0
+            if (x == 0) {
+                for (int64_t t = 0; t < nw; t++) {
+                    int64_t y = anf + t;
+                    int32_t sub = sub4[(size_t)s * c + y];
+                    int32_t a = sub;
+                    if (y > 0 && y < c - 1 && ins[y] < a) a = ins[y];
+                    diagv[t] = sub;
+                    av[t] = a;
                 }
-                int64_t diag = dprev + sub;
-                int64_t a = diag;
-                if (y > 0 && y < c - 1) {
-                    int64_t iv = uprev + ins[y];
-                    if (iv < a) a = iv;
+            } else {
+                // t range where all reads are strictly in-band and the
+                // insert option is unconditional: jm>=0, j0<w, 0<y<c-1
+                int64_t t_lo = (d == 0) ? 1 : 0;
+                if (anf == 0 && t_lo == 0) t_lo = 1;  // y>0 for insert
+                int64_t t_hi = imin64(nw, w - d);     // j0 < w
+                if (anf + t_hi >= c - 1) t_hi = (c - 1) - anf;
+                if (t_hi < t_lo) t_hi = t_lo;
+                const int32_t* pr = prev.data() + d;
+                const int32_t* sb = sub4.data() + (size_t)s * c + anf;
+                const int32_t* inp = ins.data() + anf;
+                for (int64_t t = t_lo; t < t_hi; t++) {
+                    int32_t diag = pr[t - 1] + sb[t];
+                    int32_t iv = pr[t] + inp[t];
+                    diagv[t] = diag;
+                    av[t] = iv < diag ? iv : diag;
                 }
-                int64_t lv = left + gap[y];
-                int64_t m = a < lv ? a : lv;
+                // boundaries (head and tail), branchy scalar
+                for (int64_t t = 0; t < nw; t++) {
+                    if (t >= t_lo && t < t_hi) { t = t_hi - 1; continue; }
+                    int64_t y = anf + t;
+                    int64_t jm = t + d - 1;
+                    int64_t j0 = t + d;
+                    int32_t sub = sub4[(size_t)s * c + y];
+                    int32_t dprev = (jm < 0) ? BIG32
+                        : (jm < w ? prev[jm]
+                           : prev[w - 1] + (gp[y] - gp[ptop + 1]));
+                    int32_t uprev = (j0 < w) ? prev[j0]
+                        : prev[w - 1] + (gp[y + 1] - gp[ptop + 1]);
+                    int32_t diag = dprev + sub;
+                    int32_t a = diag;
+                    if (y > 0 && y < c - 1) {
+                        int32_t iv = uprev + ins[y];
+                        if (iv < a) a = iv;
+                    }
+                    diagv[t] = diag;
+                    av[t] = a;
+                }
+            }
+            // pass 2: left relaxation + codes (cheap sequential scan)
+            int32_t left = BIG32;
+            int is_last = (x == len - 1);
+            const int32_t* gpr = gap.data() + anf;
+            for (int64_t t = 0; t < nw; t++) {
+                int32_t lv = left + gpr[t];
+                int32_t m = av[t] < lv ? av[t] : lv;
                 uint8_t code;
-                if (m == left + gap[y] ||
-                    (x == len - 1 && m == left))
-                    code = 0;
-                else if (m == diag)
-                    code = 1;
-                else
-                    code = 2;
-                crow[y - anf] = code;
-                cur[y - anf] = m;
+                if (m == lv || (is_last && m == left)) code = 0;
+                else if (m == diagv[t]) code = 1;
+                else code = 2;
+                crow[t] = code;
+                cur[t] = m;
                 left = m;
             }
-            for (int64_t j = end - anf; j < w; j++) cur[j] = BIGV;
+            for (int64_t j = nw; j < w; j++) cur[j] = BIG32;
             std::swap(prev, cur);
             prev_anf = anf;
         }
