@@ -394,13 +394,17 @@ class BatchedRealigner:
                 ways[b, lengths[b]:] = way_list[b][-1]
         if self.kernel == "native" and self.mode == "exact":
             from ..utils import native as nat
-            res = nat.realign_block(counts.astype(np.int32), rows_old,
-                                    seqs, ways, lengths,
-                                    self.bandwidth)
-            if res is not None:
+            cap = 512
+            while True:
+                res = nat.realign_block(counts.astype(np.int32),
+                                        rows_old, seqs, ways, lengths,
+                                        self.bandwidth, ins_cap=cap)
+                if res is None:
+                    break
                 new_rows, best, iy, ib, inn = res
-                if (inn >= iy.shape[1]).any():
-                    raise RuntimeError("insert buffer overflow")
+                if (inn >= cap).any():
+                    cap = max(cap * 2, int(inn.max()) + 1)
+                    continue
                 self._apply_block(rows, rows_old, new_rows, iy, ib,
                                   inn)
                 return

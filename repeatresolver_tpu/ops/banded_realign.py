@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BIG = np.int32(1 << 30)
-MAX_INSERTS = 512
+MAX_INSERTS = 2048
 
 
 def _row_costs(counts, rows_old):
