@@ -281,17 +281,80 @@ class Refinement:
     c_coverage: dict[int, np.ndarray] = field(default_factory=dict)
 
 
+def _cliquer_from_stats(cand, z, seed, maxclique, greedy):
+    """TheBestUpdater simulation given precomputed candidate stats
+    (identical to cliquer()'s tail)."""
+    if cand.size == 0:
+        return [seed] + [-1]
+    best_scores = [0.0] * maxclique
+    clique = [seed] + [0] * (maxclique - 1)
+    for idx, zz in zip(cand, z):
+        if zz <= greedy:
+            continue
+        if best_scores[maxclique - 1] >= zz:
+            continue
+        ii = maxclique - 1
+        while best_scores[ii] < zz and ii > 0:
+            ii -= 1
+        ii += 1
+        best_scores[ii + 1:maxclique] = best_scores[ii:maxclique - 1]
+        clique[ii + 1:maxclique] = clique[ii:maxclique - 1]
+        best_scores[ii] = zz
+        clique[ii] = int(idx)
+    best_scores[0] = 100.0
+    clique = clique + [-1]
+    j = maxclique - 1
+    while best_scores[j] < greedy or clique[j] == clique[j - 1]:
+        clique[j] = -1
+        j -= 1
+    return clique
+
+
 def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
                      mincov: int, maxclique: int, greedy: float,
-                     min_clique_size: int = 5) -> Refinement:
-    """Group_Refinement (:1634-1690). Mutates a copy of maxcorrs."""
+                     min_clique_size: int = 5,
+                     seed_chunk: int = 128) -> Refinement:
+    """Group_Refinement (:1634-1690). Mutates a copy of maxcorrs.
+
+    The per-seed candidate statistics are computed as chunked matmuls
+    over all significant seeds at once (the reference loops a bitset
+    popcount per pair, RepeatResolver.c:1204-1226); the greedy
+    TheBestUpdater tail is simulated exactly per seed.
+    """
     mc = maxcorrs.copy()
     ref = Refinement(maxcorrs=mc)
     signumber = gd.groups.shape[1]
+    seeds = np.nonzero(mc > cutoff)[0]
+    gf = gd.groups.astype(np.float32)
+    covf = gd.coverage.astype(np.float32)
+    gsizes = gd.sizes
+    arange5 = np.arange(gd.groups.shape[0])
+    cliques: dict[int, list[int]] = {}
+    for lo in range(0, len(seeds), seed_chunk):
+        sc = seeds[lo:lo + seed_chunk]
+        gseed = gf[sc]                               # [S, R]
+        covseed = covf[sc // 5]                      # [S, R]
+        schnitt = gf @ gseed.T                       # [C5, S]
+        gr1 = gf @ covseed.T                         # [C5, S]
+        gr2 = covf @ gseed.T                         # [C, S]
+        cov = covf @ covseed.T                       # [C, S]
+        for si, seed in enumerate(sc):
+            s_col = schnitt[:, si].astype(np.int64)
+            cand = np.nonzero((s_col > mincov // 4)
+                              & (arange5 != seed))[0]
+            z = hg.positive_significance(
+                s_col[cand], gr1[cand, si].astype(np.int64),
+                gr2[cand // 5, si].astype(np.int64),
+                cov[cand // 5, si].astype(np.int64),
+                gsizes[cand], np.full(cand.shape, gsizes[seed]),
+                cap_base=97.90) if cand.size else np.zeros(0)
+            cliques[int(seed)] = _cliquer_from_stats(
+                cand, z, int(seed), maxclique, greedy)
+
     for i in range(len(mc)):
         if mc[i] <= cutoff:
             continue
-        clique = cliquer(gd, mincov, maxclique, greedy, i)
+        clique = cliques[i]
         st = sizes_trunc(clique)
         if st > min_clique_size:
             m = membership_counts(gd, clique, st)
