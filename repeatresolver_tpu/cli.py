@@ -198,6 +198,12 @@ def main(argv=None):
         sigs = am.signatures(msa, col_mc, args.cutoff, von, bis)
         mindiffs, summe = am.resolvability(gt, sigs)
         print("unique groups at >0..10 diffs:", summe.tolist())
+        _, _, hc = am.half_resolvability(gt, sigs)
+        print(f"{hc['biggerbigger']}/"
+              f"{hc['biggerbigger'] + hc['biggersmaller']} bigger and "
+              f"{hc['smallerbigger']}/"
+              f"{hc['smallerbigger'] + hc['smallersmaller']} smaller 5 "
+              f"have >5 in the second half.")
         for kind in ("Dropoff", "RelDrop", "Kmeans"):
             path = os.path.join(d, f"{kind}SubdivisionOf{suffix}")
             if os.path.exists(path):

@@ -294,3 +294,29 @@ def resolvability(ground_truth: np.ndarray,
         mindiffs[k] = d          # reference records the LAST diff (quirk)
         summe += unique
     return mindiffs, summe
+
+
+def half_resolvability(ground_truth: np.ndarray, sigs: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """HalfResolvability (TransposonAssessment.py:121-154): min consensus
+    distance per group computed separately on the first and second half
+    of the signature; counts how often >5-diff separability in one half
+    predicts it in the other. Returns (mindiffs1, mindiffs2, counters)."""
+    groups = group_maker(ground_truth)
+    kons = np.stack([konsensus(sigs[g]) for g in groups])
+    n = len(kons)
+    half = kons.shape[1] // 2
+    md1 = np.full(n, 10000, np.int64)
+    md2 = np.full(n, 10000, np.int64)
+    for k in range(n):
+        for kk in range(n):
+            if k != kk:
+                md1[k] = min(md1[k], diff(kons[k, :half], kons[kk, :half]))
+                md2[k] = min(md2[k], diff(kons[k, half:], kons[kk, half:]))
+    counters = {
+        "biggerbigger": int(((md1 > 5) & (md2 > 5)).sum()),
+        "biggersmaller": int(((md1 > 5) & (md2 <= 5)).sum()),
+        "smallerbigger": int(((md1 <= 5) & (md2 > 5)).sum()),
+        "smallersmaller": int(((md1 <= 5) & (md2 <= 5)).sum()),
+    }
+    return md1, md2, counters

@@ -73,6 +73,21 @@ def test_resolvability_separable_groups():
     assert summe[4] == 0
 
 
+def test_half_resolvability():
+    rng = np.random.default_rng(1)
+    cons = rng.integers(0, 4, 40)
+    sigs = np.tile(cons, (20, 1)).astype(np.int8)
+    gt = np.repeat([0, 1], 10)
+    # 6 differences in the first half only -> separable (>5) on half 1,
+    # not on half 2 (TransposonAssessment.py:143-150 bucket logic)
+    sigs[10:, [1, 4, 7, 11, 14, 18]] = \
+        (sigs[10:, [1, 4, 7, 11, 14, 18]] + 1) % 4
+    md1, md2, hc = am.half_resolvability(gt, sigs)
+    assert md1.tolist() == [6, 6] and md2.tolist() == [0, 0]
+    assert hc == {"biggerbigger": 0, "biggersmaller": 2,
+                  "smallerbigger": 0, "smallersmaller": 0}
+
+
 def test_window_boundaries():
     from repeatresolver_tpu.config import WindowConfig
     from repeatresolver_tpu.models.window import window_boundaries
