@@ -82,12 +82,28 @@ def align_all(template: np.ndarray, seqs: list[np.ndarray],
             b *= 2
         return b
 
-    for lo in range(0, n, batch_size):
-        idxs = order[lo:lo + batch_size]
+    # The device move-code tensor is [Lq, B, C] int8; long uncut pieces
+    # (reads with no first/last template-part hit stay whole,
+    # ReadCutter.c:600-601) can push Lq to read length, so the block
+    # size shrinks with Lq*C to bound device memory.
+    codes_budget = 1 << 30
+    buckets = np.array([bucket(max(1, len(seqs[i]))) for i in order])
+    starts = []
+    pos = 0
+    while pos < n:
+        lq = int(buckets[pos])
+        b_eff = int(max(1, min(batch_size,
+                               codes_budget // (lq * max(tlen, 1)))))
+        end = pos
+        while end < n and end - pos < b_eff and buckets[end] == lq:
+            end += 1
+        starts.append((pos, end, lq, b_eff))
+        pos = end
+    for lo, hi, lq, b_eff in starts:
+        idxs = order[lo:hi]
         lens_real = np.array([len(seqs[i]) for i in idxs], np.int32)
-        lq = bucket(max(1, int(lens_real.max())))
-        q = np.full((batch_size, lq), 100, np.int16)
-        lens = np.zeros(batch_size, np.int32)
+        q = np.full((b_eff, lq), 100, np.int16)
+        lens = np.zeros(b_eff, np.int32)
         lens[:len(idxs)] = lens_real
         for r, i in enumerate(idxs):
             q[r, :lens_real[r]] = seqs[i]
