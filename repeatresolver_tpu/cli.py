@@ -94,6 +94,9 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("-w", "--workdir", default="run")
     s.add_argument("-b", type=int, default=1000, help="realign band")
+    s.add_argument("-B", "--block-rows", type=int, default=16,
+                   help="realign rows per Jacobi block (1 = exact "
+                        "reference trajectory, slower)")
 
     args = p.parse_args(argv)
     from .config import (InitialAlignerConfig, MaxCorrConfig,
@@ -219,7 +222,8 @@ def main(argv=None):
                                       difference=args.d / 100.0,
                                       repeatlength=args.l,
                                       structure=args.t, seed=args.seed),
-            realigner=RealignerConfig(bandwidth=args.b))
+            realigner=RealignerConfig(bandwidth=args.b,
+                                      block_rows=args.block_rows))
         run_pipeline(cfg, args.workdir)
 
     return 0

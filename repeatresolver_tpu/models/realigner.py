@@ -343,11 +343,21 @@ class BatchedRealigner:
         eng.ent_al_gapper()
         self.msa, self.counts = eng.msa, eng.counts
 
-    def _drop_empty(self):
-        keep = (self.msa < 4).any(axis=0)
-        if not keep.all():
-            self.msa = np.ascontiguousarray(self.msa[:, keep])
-            self.counts = np.ascontiguousarray(self.counts[keep])
+    def _drop_empty(self, min_frac: float = 0.0):
+        # a column is empty iff it has no base — read it from the
+        # incrementally-maintained counts (O(C)), not the MSA (O(R*C)).
+        # min_frac>0 defers the (expensive, full-width) compaction until
+        # empties accumulate; empty columns are score-neutral (all-zero
+        # counts -> zero DP cost), so deferral only changes the block>1
+        # Jacobi trajectory, never the score accounting.
+        keep = self.counts[:, 0:4].sum(axis=1) > 0
+        n_empty = len(keep) - int(keep.sum())
+        if n_empty == 0 or n_empty < min_frac * len(keep):
+            return
+        idx = np.flatnonzero(keep)
+        self.msa = np.ascontiguousarray(np.take(self.msa, idx, axis=1))
+        self.counts = np.ascontiguousarray(np.take(self.counts, idx,
+                                                   axis=0))
 
     def overall_pair(self):
         self._drop_empty()
@@ -359,7 +369,10 @@ class BatchedRealigner:
         bs = self.block_rows
         for k0 in range(0, r, bs):
             rows = list(range(k0, min(r, k0 + bs)))
-            self._drop_empty()
+            # block=1 must drop every step (reference W_Con frees empty
+            # columns before the next row, PW_ReAligner.c:706-763);
+            # larger blocks already deviate (Jacobi), so compact lazily.
+            self._drop_empty(min_frac=0.0 if bs == 1 else 0.02)
             self._realign_block(rows, br)
 
     def _realign_block(self, rows: list[int], br) -> None:
@@ -482,9 +495,9 @@ class BatchedRealigner:
         for b, k in enumerate(rows):
             old = msa[k]
             new = new_rows[b]
-            np.subtract.at(counts, (np.arange(c), old.astype(np.int64)),
-                           1)
-            np.add.at(counts, (np.arange(c), new.astype(np.int64)), 1)
+            d = np.nonzero(old != new)[0]
+            np.subtract.at(counts, (d, old[d].astype(np.int64)), 1)
+            np.add.at(counts, (d, new[d].astype(np.int64)), 1)
             msa[k] = new
         all_ins = []  # (gap, row order, discovery order, row, base)
         for b, k in enumerate(rows):
@@ -508,9 +521,13 @@ class BatchedRealigner:
                 col[k] = base
                 positions.append(gap + 1)
                 cols.append(col)
-            self.msa = np.insert(msa, positions, np.stack(cols).T,
-                                 axis=1)
-            self.counts = symbol_counts(self.msa)
+            cols_arr = np.stack(cols)                 # [n_ins, R]
+            self.msa = np.insert(msa, positions, cols_arr.T, axis=1)
+            col_counts = np.stack(
+                [np.bincount(col, minlength=6) for col in cols_arr]
+            ).astype(counts.dtype)
+            self.counts = np.insert(counts, positions, col_counts,
+                                    axis=0)
 
 
 def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
@@ -521,7 +538,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     stats: dict | None = None,
                     validate: bool = False,
                     mode: str = "exact",
-                    kernel: str = "xla",
+                    kernel: str = "auto",
                     score_log_path: str | None = None) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
     realign(). With checkpoint_path, state is saved atomically per
