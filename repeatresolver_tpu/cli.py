@@ -56,6 +56,9 @@ def main(argv=None):
     s.add_argument("msa")
     s.add_argument("-o", default="MSAreal")
     s.add_argument("-b", type=int, default=1000)
+    s.add_argument("-B", "--block-rows", type=int, default=16,
+                   help="rows per Jacobi block (1 = exact reference "
+                        "trajectory via the serial engine, slower)")
 
     s = sub.add_parser("maxcorr")
     s.add_argument("msa")
@@ -145,11 +148,15 @@ def main(argv=None):
         print(f"{len(res.rows)} rows -> {out}")
 
     elif args.cmd == "realign":
-        from .models.realigner import realign
+        from .models.realigner import realign, realign_batched
         msa = rio.read_msa(args.msa)
         log: list = []
-        realign(msa, RealignerConfig(bandwidth=args.b),
-                out_path=args.o, score_log=log)
+        cfg = RealignerConfig(bandwidth=args.b,
+                              block_rows=args.block_rows)
+        if cfg.block_rows > 1:
+            realign_batched(msa, cfg, out_path=args.o, score_log=log)
+        else:
+            realign(msa, cfg, out_path=args.o, score_log=log)
         for i, (m, u) in enumerate(log):
             print(f"OverallScore: {m}{u:06d}")
         print(f"-> {args.o}")

@@ -102,22 +102,32 @@ class RealignEngine:
         base = msa < 4
         any_base = base.any(axis=1)
         first = np.where(any_base, base.argmax(axis=1), msa.shape[1])
+        # argmax on a negative-stride view hits a slow path; flip into
+        # a contiguous buffer first
+        rev = np.ascontiguousarray(base[:, ::-1])
         last = np.where(any_base,
-                        msa.shape[1] - 1 - base[:, ::-1].argmax(axis=1),
-                        -1)
+                        msa.shape[1] - 1 - rev.argmax(axis=1), -1)
         cols = np.arange(msa.shape[1])[None, :]
         outside = (cols < first[:, None]) | (cols > last[:, None])
         conv = outside & (msa == 4)
         msa[conv] = 5
+        convcnt = conv.sum(axis=0).astype(self.counts.dtype)
+        self.counts[:, 4] -= convcnt
+        self.counts[:, 5] += convcnt
         self._drop_empty_columns()
-        self.counts = symbol_counts(self.msa)
         return int(conv.sum())
 
     def _drop_empty_columns(self) -> None:
-        keep = (self.msa < 4).any(axis=0)
+        # counts are maintained incrementally at every call site
+        # (validate_counts checks the invariant), so emptiness reads
+        # from counts in O(C) instead of scanning the MSA
+        keep = self.counts[:, 0:4].sum(axis=1) > 0
         if not keep.all():
-            self.msa = np.ascontiguousarray(self.msa[:, keep])
-            self.counts = symbol_counts(self.msa)
+            idx = np.flatnonzero(keep)
+            self.msa = np.ascontiguousarray(
+                np.take(self.msa, idx, axis=1))
+            self.counts = np.ascontiguousarray(
+                np.take(self.counts, idx, axis=0))
 
     # ------------------------------------------------------ row realign
 
