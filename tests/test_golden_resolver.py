@@ -67,3 +67,30 @@ def test_probability_chain_identity():
     np.testing.assert_allclose(m, np.eye(3))
     bf = resolver.back_and_forth([u, u, u])
     np.testing.assert_allclose(bf, np.eye(3))
+
+
+def test_batched_refinement_matches_lazy_cliquer():
+    # group_refinement's chunked-matmul seed statistics must reproduce
+    # the per-seed cliquer() exactly (same stats -> same TheBestUpdater
+    # trajectory), including seeds processed across chunk boundaries.
+    rng = np.random.default_rng(5)
+    cons = rng.integers(0, 4, 40).astype(np.int8)
+    sig = np.tile(cons, (60, 1))
+    # two planted copy groups deviating at disjoint column sets
+    dev = rng.choice(40, 16, replace=False)
+    sig[:30, dev[:8]] = (sig[:30, dev[:8]] + 1) % 4
+    sig[30:, dev[8:]] = (sig[30:, dev[8:]] + 1) % 4
+    sig[rng.random(sig.shape) < 0.05] = 5
+    win = resolver.Window(sig, np.ones(60, np.int8), 0, 39)
+    gd = resolver.GroupData.from_window(win)
+    mc = rng.random(40 * 5) * 10
+    ref = resolver.group_refinement(gd, mc, cutoff=4.0, mincov=8,
+                                    maxclique=6, greedy=4.0,
+                                    seed_chunk=7)
+    compared = 0
+    for seed in np.nonzero(mc > 4.0)[0]:
+        if seed in ref.cliques:
+            lazy = resolver.cliquer(gd, 8, 6, 4.0, int(seed))
+            assert ref.cliques[seed] == lazy, seed
+            compared += 1
+    assert compared >= 10
