@@ -38,12 +38,15 @@ class InitialMSAResult:
 
 def align_all(template: np.ndarray, seqs: list[np.ndarray],
               batch_size: int = 16,
-              use_native: bool | None = None
+              use_native: bool | None = None,
+              codes_budget: int = 1 << 30
               ) -> tuple[list[np.ndarray], np.ndarray]:
     """IntoAligner over all seqs: alignments + error rates.
 
     use_native=None auto-selects the C++ kernel on CPU backends (same
-    semantics, tested); the device path is used on accelerators."""
+    semantics, tested); the device path is used on accelerators.
+    codes_budget bounds the [Lq, B, C] device move-code tensor, so the
+    block size shrinks for long length buckets."""
     tlen = len(template)
     n = len(seqs)
     errors = np.full(n, np.nan)
@@ -86,7 +89,6 @@ def align_all(template: np.ndarray, seqs: list[np.ndarray],
     # (reads with no first/last template-part hit stay whole,
     # ReadCutter.c:600-601) can push Lq to read length, so the block
     # size shrinks with Lq*C to bound device memory.
-    codes_budget = 1 << 30
     buckets = np.array([bucket(max(1, len(seqs[i]))) for i in order])
     starts = []
     pos = 0

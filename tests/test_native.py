@@ -114,3 +114,24 @@ def test_initial_align_native_matches_device(lib):
         np.testing.assert_array_equal(x, y)
     np.testing.assert_allclose(
         np.nan_to_num(e_nat, nan=-1), np.nan_to_num(e_dev, nan=-1))
+
+
+def test_device_block_size_shrinks_with_bucket(lib):
+    # long sequences must still align when the codes budget forces
+    # single-row blocks (the OOM guard for uncut reads); results are
+    # identical to the unconstrained device path
+    from repeatresolver_tpu.models import initial_aligner as ia
+    rng = np.random.default_rng(11)
+    tmpl = rng.integers(0, 4, 200).astype(np.int16)
+    seqs = []
+    for lq in (40, 300, 600, 70, 500):
+        q = rng.integers(0, 4, lq).astype(np.int16)
+        q[: min(lq, 200)] = tmpl[: min(lq, 200)]
+        seqs.append(q)
+    # budget of one 512-bucket row: buckets 512 get B=1, 256 gets B=2
+    a_small, e_small = ia.align_all(tmpl, seqs, use_native=False,
+                                    codes_budget=512 * 200)
+    a_big, e_big = ia.align_all(tmpl, seqs, use_native=False)
+    for x, y in zip(a_small, a_big):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_allclose(e_small, e_big)
