@@ -338,11 +338,16 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
         gr1 = gf @ covseed.T                         # [C5, S]
         gr2 = covf @ gseed.T                         # [C, S]
         cov = covf @ covseed.T                       # [C, S]
+        # sub-mode pairs have true Z < ~0.5, so with greedy comfortably
+        # above that the mode-gated evaluator is decision- and
+        # value-identical for every candidate that can enter the clique
+        sig_fn = (hg.positive_significance_fast if greedy >= 2.0
+                  else hg.positive_significance)
         for si, seed in enumerate(sc):
             s_col = schnitt[:, si].astype(np.int64)
             cand = np.nonzero((s_col > mincov // 4)
                               & (arange5 != seed))[0]
-            z = hg.positive_significance(
+            z = sig_fn(
                 s_col[cand], gr1[cand, si].astype(np.int64),
                 gr2[cand // 5, si].astype(np.int64),
                 cov[cand // 5, si].astype(np.int64),
