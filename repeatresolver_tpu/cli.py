@@ -63,7 +63,8 @@ def main(argv=None):
     s = sub.add_parser("maxcorr")
     s.add_argument("msa")
     s.add_argument("-c", type=int, default=30)
-    s.add_argument("-p", type=int, default=1, help="(ignored; parallel)")
+    s.add_argument("-p", type=int, default=1,
+                   help="fork workers striped over seed tiles")
 
     s = sub.add_parser("window")
     s.add_argument("msa")
@@ -163,7 +164,7 @@ def main(argv=None):
 
     elif args.cmd == "maxcorr":
         from .models.maxcorr import run
-        run(args.msa, MaxCorrConfig(mincov=args.c))
+        run(args.msa, MaxCorrConfig(mincov=args.c), threads=args.p)
         print(f"-> {rio.maxcorrs_path(args.msa)}")
 
     elif args.cmd == "window":

@@ -43,14 +43,43 @@ def group_matrices(msa: np.ndarray):
     return groups.reshape(c * 5, r), coverage, sizes, covcount
 
 
+_FORK_STATE: dict = {}
+
+
+def _scan_seed_tiles(i0_list):
+    """Worker: scan the given seed-tile rows, return a local maxcorrs.
+    The reference's threaded variant stripes seed columns the same way
+    and merges with elementwise max (MaxCorrelation.c:796, 881-891).
+    BLAS is pinned to one thread per worker — the serial path already
+    saturates cores through multithreaded matmuls, so workers must not
+    multiply that."""
+    s = _FORK_STATE
+    try:
+        from threadpoolctl import threadpool_limits
+        with threadpool_limits(limits=1):
+            return _tile_scan(i0_list, s["groups"], s["coverage"],
+                              s["sizes_flat"], s["seed_ok"],
+                              s["partner_ok"], s["c"], s["mincov"],
+                              s["gap"], s["tile"], s["matmul"],
+                              s["fast"])
+    except ImportError:
+        return _tile_scan(i0_list, s["groups"], s["coverage"],
+                          s["sizes_flat"], s["seed_ok"],
+                          s["partner_ok"], s["c"], s["mincov"],
+                          s["gap"], s["tile"], s["matmul"], s["fast"])
+
+
 def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
                      tile: int = 256,
-                     matmul=np.matmul, fast: bool = False) -> np.ndarray:
+                     matmul=np.matmul, fast: bool = False,
+                     threads: int = 0) -> np.ndarray:
     """MaxCorrs for a full MSA -> float64 [C*5].
 
     fast=True uses the mode-gated fixed-term significance
     (hypergeom.positive_significance_fast): identical cutoff decisions,
-    ~20x cheaper; fast=False is the exact golden-parity path."""
+    ~20x cheaper; fast=False is the exact golden-parity path.
+    threads>1 forks workers striped over seed tiles and merges with
+    elementwise max — value-identical to the serial scan."""
     msa = np.asarray(msa)
     r, c = msa.shape
     signumber = r
@@ -65,11 +94,33 @@ def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
     if cfg.majority_filter:
         seed_ok &= (baseno > covcount // 2)[:, None]
     partner_ok = size_ok.reshape(c, 5)
-
-    maxcorrs = np.zeros(c * 5, np.float64)
     gap = cfg.min_col_gap
 
-    for i0 in range(0, c, tile):
+    i0s = list(range(0, c, tile))
+    if threads > 1 and len(i0s) > threads:
+        import multiprocessing as mp
+        _FORK_STATE.update(groups=groups, coverage=coverage,
+                           sizes_flat=sizes_flat, seed_ok=seed_ok,
+                           partner_ok=partner_ok, c=c, mincov=mincov,
+                           gap=gap, tile=tile, matmul=matmul, fast=fast)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(threads) as pool:
+                parts = pool.map(_scan_seed_tiles,
+                                 [i0s[w::threads]
+                                  for w in range(threads)])
+            return np.maximum.reduce(parts)
+        finally:
+            _FORK_STATE.clear()
+    return _tile_scan(i0s, groups, coverage, sizes_flat, seed_ok,
+                      partner_ok, c, mincov, gap, tile, matmul, fast)
+
+
+def _tile_scan(i0_list, groups, coverage, sizes_flat, seed_ok,
+               partner_ok, c, mincov, gap, tile, matmul,
+               fast) -> np.ndarray:
+    maxcorrs = np.zeros(c * 5, np.float64)
+    for i0 in i0_list:
         i1 = min(c, i0 + tile)
         ti = i1 - i0
         seed_cols = seed_ok[i0:i1].any(axis=1)

@@ -103,8 +103,11 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
         mc = maxcorr.compute_maxcorrs_device(msareal, cfg.maxcorr)
     else:
         # fast host path: mode-gated prefilter — identical significance
-        # decisions, exact values for significant entries
-        mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr, fast=True)
+        # decisions, exact values for significant entries; fork workers
+        # striped over seed tiles (reference pthread layout)
+        mc = maxcorr.compute_maxcorrs(msareal, cfg.maxcorr, fast=True,
+                                      threads=min(4, os.cpu_count()
+                                                  or 1))
     mc_path = os.path.join(workdir,
                            "MaxCorrsOf_" + os.path.basename(msareal_path))
     rio.write_maxcorrs(mc_path, mc)
