@@ -89,3 +89,11 @@ def test_fast_path_decisions_match_exact(planted_msa):
     np.testing.assert_array_equal(exact > cutoff, fast > cutoff)
     sig = exact > cutoff
     np.testing.assert_allclose(fast[sig], exact[sig], atol=2e-6)
+
+
+def test_fork_workers_match_serial(planted_msa):
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    serial = maxcorr.compute_maxcorrs(msa, cfg, tile=64)
+    forked = maxcorr.compute_maxcorrs(msa, cfg, tile=64, threads=3)
+    np.testing.assert_array_equal(serial, forked)
