@@ -451,6 +451,116 @@ void initial_align_native(const int8_t* tmpl, int64_t tlen,
 }  // extern "C"
 
 // ---------------------------------------------------------------------
+// Banded glocal alignment to the template around a precomputed center
+// path (k-mer anchored in Python). Same move semantics as
+// initial_align_native (InitialAligner.c IntoAligner); values equal the
+// full DP wherever the optimal path stays inside the band. centers is
+// int32 [b, lmax], monotone nondecreasing per row, in [1, tlen].
+extern "C" {
+
+void initial_align_banded_native(const int8_t* tmpl, int64_t tlen,
+                                 const int8_t* seqs,
+                                 const int32_t* lengths,
+                                 const int32_t* centers, int64_t b,
+                                 int64_t lmax, int64_t band,
+                                 int32_t* alignments /* [b, lmax] */,
+                                 double* errors /* [b] */)
+{
+    const int32_t BIG = (int32_t)1 << 29;
+    const int64_t hb = band / 2;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> prev((size_t)band + 2), cur((size_t)band + 2);
+        std::vector<int32_t> lo_v, hi_v;
+        std::vector<uint8_t> codes;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t r = 0; r < b; r++) {
+            const int8_t* q = seqs + r * lmax;
+            const int32_t* cen = centers + r * lmax;
+            int32_t* out = alignments + r * lmax;
+            int64_t lq = lengths[r];
+            for (int64_t i = 0; i < lmax; i++) out[i] = -1;
+            if (lq <= 0) {
+                errors[r] = std::numeric_limits<double>::quiet_NaN();
+                continue;
+            }
+            codes.resize((size_t)(lq * band));
+            lo_v.resize(lq); hi_v.resize(lq);
+            for (int64_t x = 0; x < lq; x++) {
+                int64_t c0 = cen[x];
+                int64_t lo = c0 - hb; if (lo < 1) lo = 1;
+                int64_t hi = lo + band - 1; if (hi > tlen) hi = tlen;
+                if (hi - band + 1 < lo && hi >= band) lo = hi - band + 1;
+                lo_v[x] = (int32_t)lo; hi_v[x] = (int32_t)hi;
+            }
+            int64_t plo = 0;
+            for (int64_t x = 0; x < lq; x++) {
+                int64_t lo = lo_v[x], hi = hi_v[x];
+                uint8_t* crow = codes.data() + (size_t)(x * band);
+                int8_t qx = q[x];
+                // prev row covers [plo, plo+band-1] (x>0)
+                int32_t leftv;  // cur[j-1]
+                for (int64_t j = lo; j <= hi; j++) {
+                    int32_t diagv, upv;
+                    if (x == 0) {
+                        diagv = 0;           // M[-1][j-1] = 0
+                        upv = BIG;           // no previous row value
+                    } else {
+                        int64_t t = j - 1 - plo;
+                        diagv = (j - 1 == 0) ? (int32_t)x
+                            : (t >= 0 && t < band ? prev[t] : BIG);
+                        int64_t t0 = j - plo;
+                        upv = (t0 >= 0 && t0 < band) ? prev[t0] : BIG;
+                    }
+                    leftv = (j == lo)
+                        ? (j - 1 == 0 ? (int32_t)(x + 1) : BIG)
+                        : cur[j - 1 - lo];
+                    int m = (qx != tmpl[j - 1]);
+                    int32_t e = diagv + m;
+                    uint8_t code = m ? 0 : 3;
+                    if (leftv + 1 < e) { e = leftv + 1; code = 1; }
+                    if (upv + 1 < e) { e = upv + 1; code = 2; }
+                    cur[j - lo] = e;
+                    crow[j - lo] = code;
+                }
+                for (int64_t t = hi - lo + 1; t < band; t++)
+                    cur[t] = BIG;
+                std::swap(prev, cur);
+                plo = lo;
+            }
+            // entry scan (reference: j = tlen .. 2 descending, strict <)
+            int64_t llo = lo_v[lq - 1], lhi = hi_v[lq - 1];
+            int64_t entry = tlen - 1;
+            int32_t mn = BIG;
+            if (lhi == tlen) { mn = prev[tlen - llo]; entry = tlen - 1; }
+            for (int64_t j = lhi; j > 1; j--) {
+                if (j < llo) break;
+                if (prev[j - llo] < mn) { mn = prev[j - llo]; entry = j - 1; }
+            }
+            errors[r] = (double)mn / (double)lq;
+            // backtrack within the band
+            int64_t x = lq - 1, y = entry;
+            while (x > -1 && y > -1) {
+                int64_t lo = lo_v[x];
+                int64_t t = y + 1 - lo;     // code index of column y+1...
+                // codes are indexed by template col j = y+1 (1-based j)
+                if (t < 0 || t >= band) break;  // left the band: stop
+                uint8_t code = codes[(size_t)(x * band) + t];
+                if (code == 0 || code == 3) { out[x] = (int32_t)y; x--; y--; }
+                else if (code == 1) { y--; }
+                else { x--; }
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
 // Glocal last-DP-row of a template part vs a batch of reads
 // (ReadCutter.c Occurrence fill). Rolling row, no traceback.
 extern "C" {

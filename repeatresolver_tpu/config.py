@@ -65,6 +65,11 @@ class InitialAlignerConfig:
     """InitialAligner.c:705-706,750."""
     error_cutoff: float = 0.30  # -e
     max_read_length: int = 40000
+    # TPU-native extension: band the glocal DP around the length-scaled
+    # diagonal (0 = reference full matrix). Validated against full DP —
+    # near-diagonal repeat pieces get identical alignments; only
+    # already-garbage (class 'l') alignments can differ.
+    band: int = 0
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,95 @@ from ..ops import editdp
 GAP = 4
 
 
+# ---------------------------------------------------------------- banding
+#
+# Scale path for paper-size datasets: glocal pieces align at UNKNOWN
+# template offsets (free template prefix/suffix, InitialAligner.c
+# :336-346), so banding needs a per-piece center path. Exact 15-mer
+# anchors against the (internally repeat-free) template give the
+# offset; the DP then runs in a band around the interpolated anchor
+# path. Pieces without anchors (flank garbage, error >= 0.30 ->
+# class 'l') get the length-scaled diagonal — banded error can only
+# overestimate, so 'l' classification is conservative and their only
+# downstream effect is the Gapcount widening quirk.
+
+_KMER = 15
+
+
+class TemplateIndex:
+    """Sorted unique k-mer index of the template."""
+
+    def __init__(self, template: np.ndarray, k: int = _KMER):
+        self.k = k
+        t = np.asarray(template, np.int64)
+        self.tlen = len(t)
+        from numpy.lib.stride_tricks import sliding_window_view
+        self.pw = (np.int64(4) ** np.arange(k)).astype(np.int64)
+        if self.tlen < k:
+            self.keys = np.empty(0, np.int64)
+            self.order = np.empty(0, np.int64)
+            self.uniq = np.empty(0, bool)
+            return
+        w = sliding_window_view(t, k)
+        keys = w @ self.pw
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        uniq = np.ones(len(sk), bool)
+        if len(sk) > 1:
+            dup = sk[1:] == sk[:-1]
+            uniq[1:] &= ~dup
+            uniq[:-1] &= ~dup
+        self.keys, self.order, self.uniq = sk, order, uniq
+
+    def anchors(self, seq: np.ndarray):
+        """(x, j) exact unique k-mer hits at sampled query positions."""
+        lq = len(seq)
+        k = self.k
+        if lq < k or len(self.keys) == 0:
+            return None
+        from numpy.lib.stride_tricks import sliding_window_view
+        w = sliding_window_view(np.asarray(seq, np.int64), k)
+        stride = max(1, min(64, lq // 256))
+        xs = np.arange(0, lq - k + 1, stride)
+        qk = w[xs] @ self.pw
+        idx = np.minimum(np.searchsorted(self.keys, qk),
+                         len(self.keys) - 1)
+        hit = (self.keys[idx] == qk) & self.uniq[idx]
+        if hit.sum() < 2:
+            return None
+        return xs[hit], self.order[idx[hit]]
+
+
+def anchor_centers(tindex: TemplateIndex, seq: np.ndarray,
+                   outlier: int = 3000) -> np.ndarray | None:
+    """Monotone band-center path (1-based template cols) for one piece,
+    or None when the piece has <2 consistent anchors."""
+    a = tindex.anchors(seq)
+    if a is None:
+        return None
+    hx, hj = a
+    d = hj.astype(np.int64) - hx
+    med = np.median(d)
+    keep = np.abs(d - med) <= outlier
+    hx, hj = hx[keep], hj[keep]
+    if len(hx) < 2:
+        return None
+    mono = np.maximum.accumulate(hj) == hj
+    hx, hj = hx[mono], hj[mono]
+    lq = len(seq)
+    cen = np.interp(np.arange(lq), hx, hj.astype(np.float64))
+    x0, xl = int(hx[0]), int(hx[-1])
+    cen[:x0] = hj[0] - (x0 - np.arange(x0))
+    cen[xl:] = hj[-1] + (np.arange(lq - xl))
+    return np.maximum.accumulate(
+        np.clip(np.round(cen) + 1, 1, tindex.tlen)).astype(np.int32)
+
+
+def scaled_diagonal(lq: int, tlen: int) -> np.ndarray:
+    return np.clip(((np.arange(lq) + 1.0) * tlen / max(lq, 1)).astype(
+        np.int64), 1, tlen).astype(np.int32)
+
+
 @dataclass
 class InitialMSAResult:
     msa: np.ndarray | None        # int8 [rows_r, width]; None if ragged
@@ -39,14 +128,16 @@ class InitialMSAResult:
 def align_all(template: np.ndarray, seqs: list[np.ndarray],
               batch_size: int = 16,
               use_native: bool | None = None,
-              codes_budget: int = 1 << 30
+              codes_budget: int = 1 << 30,
+              band: int = 0
               ) -> tuple[list[np.ndarray], np.ndarray]:
     """IntoAligner over all seqs: alignments + error rates.
 
     use_native=None auto-selects the C++ kernel on CPU backends (same
     semantics, tested); the device path is used on accelerators.
     codes_budget bounds the [Lq, B, C] device move-code tensor, so the
-    block size shrinks for long length buckets."""
+    block size shrinks for long length buckets. band>0 switches the
+    native path to anchored banded DP (the scale path)."""
     tlen = len(template)
     n = len(seqs)
     errors = np.full(n, np.nan)
@@ -57,6 +148,7 @@ def align_all(template: np.ndarray, seqs: list[np.ndarray],
         use_native = jax.default_backend() == "cpu"
     if use_native and n:
         from ..utils import native as nat
+        tindex = TemplateIndex(template) if band > 0 else None
         done = True
         for lo in range(0, n, 512):
             chunk = seqs[lo:lo + 512]
@@ -65,8 +157,38 @@ def align_all(template: np.ndarray, seqs: list[np.ndarray],
             padded = np.full((len(chunk), lmax), 100, np.int8)
             for i, s in enumerate(chunk):
                 padded[i, :len(s)] = s
-            res = nat.initial_align(template.astype(np.int8), padded,
-                                    lens)
+            if band > 0:
+                # Anchored pieces (and long anchor-less flank garbage)
+                # go banded; SHORT anchor-less pieces get the exact full
+                # DP — they are genuinely alignable at unknown offsets
+                # (error bursts can strip every 15-mer from a 100-base
+                # piece) and full DP is cheap at that length.
+                centers = np.ones((len(chunk), lmax), np.int32)
+                full_idx = []
+                for i, s in enumerate(chunk):
+                    cen = anchor_centers(tindex, s)
+                    if cen is None:
+                        if len(s) <= max(4000, band):
+                            full_idx.append(i)
+                            continue
+                        cen = scaled_diagonal(len(s), tlen)
+                    centers[i, :len(s)] = cen
+                res = nat.initial_align_banded(
+                    template.astype(np.int8), padded, lens, centers,
+                    band)
+                if res is not None and full_idx:
+                    sub = np.array(full_idx)
+                    fres = nat.initial_align(
+                        template.astype(np.int8), padded[sub],
+                        lens[sub])
+                    if fres is None:
+                        res = None
+                    else:
+                        res[0][sub] = fres[0]
+                        res[1][sub] = fres[1]
+            else:
+                res = nat.initial_align(template.astype(np.int8),
+                                        padded, lens)
             if res is None:
                 done = False
                 break
@@ -212,7 +334,8 @@ def build_initial_msa(template: np.ndarray, seqs: list[np.ndarray],
                       cfg: InitialAlignerConfig,
                       batch_size: int = 16) -> InitialMSAResult:
     tlen = len(template)
-    alignments, errors = align_all(template, seqs, batch_size=batch_size)
+    alignments, errors = align_all(template, seqs, batch_size=batch_size,
+                                   band=cfg.band)
     gapcount = compute_gapcount(
         [a for a in alignments if len(a)], tlen)
     rows: list[np.ndarray] = []

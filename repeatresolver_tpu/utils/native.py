@@ -52,6 +52,10 @@ def get_lib():
         lib.initial_align_native.argtypes = [
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
             i64, i64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.initial_align_banded_native.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, i64, i64, i64, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.realign_backtrack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
@@ -153,6 +157,26 @@ def initial_align(template, seqs_padded, lengths):
     lib.initial_align_native(_ptr(template), len(template),
                              _ptr(seqs_padded), _ptr(lengths), b, lmax,
                              _ptr(out), _ptr(err))
+    return out, err
+
+
+def initial_align_banded(template, seqs_padded, lengths, centers, band):
+    """Banded glocal alignment around precomputed center paths.
+    Returns (alignments int32 [B, Lmax], errors float64 [B]) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "initial_align_banded_native"):
+        return None
+    template = np.ascontiguousarray(template, np.int8)
+    seqs_padded = np.ascontiguousarray(seqs_padded, np.int8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    centers = np.ascontiguousarray(centers, np.int32)
+    b, lmax = seqs_padded.shape
+    out = np.zeros((b, lmax), np.int32)
+    err = np.zeros(b, np.float64)
+    lib.initial_align_banded_native(_ptr(template), len(template),
+                                    _ptr(seqs_padded), _ptr(lengths),
+                                    _ptr(centers), b, lmax, band,
+                                    _ptr(out), _ptr(err))
     return out, err
 
 
