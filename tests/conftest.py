@@ -29,6 +29,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU chip (opt-in via "
+                   "RR_TPU_TESTS=1; runs in a subprocess)")
+
+
 @pytest.fixture(scope="session")
 def reference_bins(tmp_path_factory):
     """Compile the reference C tools once per session (into tmp).

