@@ -602,3 +602,309 @@ void occurrence_rows_native(const int8_t* part, int64_t plen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// MaxCorrs bitset scan (MaxCorrelation.c threaded variant semantics,
+// Parallel_AllMaxCorrsRechner :744-908).
+//
+// Re-architecture, not a port: the reference keeps per-(column,symbol)
+// row bitsets and popcount loops over ceil(R/64) words. Here rows are
+// pre-sorted by coverage start (the caller does this; per-column output
+// is row-order invariant), which makes every column's coverage bitset a
+// near-contiguous band of rows, so intersections only touch the
+// overlap of two word ranges (~10-30 words at paper scale instead of
+// ceil(R/64) ~ 217). Significance is the same log-space hypergeometric
+// series as ops/hypergeom.py / tests/golden/gsl_shim.c, accelerated by
+//   * integer-argument lgamma/log lookup tables (all series arguments
+//     are integers <= R+2),
+//   * a branch-and-bound max scan: q >= pmf(s) gives an upper bound on
+//     Z = -log10 q, so pairs that cannot raise either group's running
+//     max are skipped (skips never change the max, so values match the
+//     dense-scan path); a Hoeffding/Chernoff lower bound proves Z > 98
+//     for strongly-capped pairs, replacing the series by the 98+F1 cap
+//     (MaxCorrelation.c:432) directly.
+// Gates mirror models/maxcorr.py: seed size in (mincov/4, maxgroup)
+// plus majority filter baseno > cov/2 (:798-802); partner size gate
+// only (:817); partners at distance >= gap with a hard break at the
+// first jj whose shared coverage < mincov (:804-810); sub-mode pairs
+// score 0 in fast mode (identical cutoff decisions; ops/hypergeom.py
+// positive_significance_fast).
+#include <cmath>
+#include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace mcx {
+
+struct Tables {
+    std::vector<double> lg;   // lg[i] = lgamma(i + 1.0)  (log i!)
+    std::vector<double> lnv;  // lnv[i] = log(i)
+    explicit Tables(int64_t n) : lg(n + 3), lnv(n + 3) {
+        lg[0] = 0.0;
+        lnv[0] = -INFINITY;
+        for (int64_t i = 1; i < (int64_t)lg.size(); i++) {
+            lnv[i] = std::log((double)i);
+            lg[i] = lg[i - 1] + lnv[i];
+        }
+    }
+    inline double lbinom(int64_t n, int64_t k) const {
+        if (k < 0 || k > n) return -INFINITY;
+        return lg[n] - lg[k] - lg[n - k];
+    }
+    // log pmf of HG(j | K successes of N, n draws)
+    inline double logpmf(int64_t j, int64_t K, int64_t n,
+                         int64_t N) const {
+        return lbinom(K, j) + lbinom(N - K, n - j) - lbinom(N, n);
+    }
+};
+
+static const double LN10 = 2.302585092994045684;
+
+// log of sum_{j=lo..hi} pmf(j | K, n, N); ratio recurrence with the
+// same early exit as ops/hypergeom.py _series_logsum.
+static double series_logsum(int64_t lo, int64_t hi, int64_t K,
+                            int64_t n, int64_t N, const Tables& T)
+{
+    if (lo > hi) return -INFINITY;
+    double l = T.logpmf(lo, K, n, N);
+    double m = l, s = 1.0;
+    for (int64_t j = lo; j + 1 <= hi; j++) {
+        int64_t j1 = j + 1;
+        int64_t d = N - K - n + j1;
+        double logr = T.lnv[K - j] + T.lnv[n - j] - T.lnv[j1]
+                      - (d >= 1 ? T.lnv[d] : std::log(1e-300));
+        double l2 = l + logr;
+        if (l2 > m) { s = s * std::exp(m - l2) + 1.0; m = l2; }
+        else        { s += std::exp(l2 - m); }
+        l = l2;
+        if (l2 - m < -40.0 && logr < -1e-12) break;
+    }
+    return m + std::log(s);
+}
+
+// gsl_cdf_hypergeometric_Q(k; n1, n2, t) = P[X > k]
+static double hyp_q(int64_t k, int64_t n1, int64_t n2, int64_t t,
+                    const Tables& T)
+{
+    int64_t kmin = t - n2 > 0 ? t - n2 : 0;
+    int64_t kmax = n1 < t ? n1 : t;
+    int64_t lo = k + 1;
+    if (lo <= kmin) return 1.0;
+    if (lo > kmax) return 0.0;
+    double ls = series_logsum(lo, kmax, n1, t, n1 + n2, T);
+    double q = std::exp(ls);
+    return q > 1.0 ? 1.0 : q;
+}
+
+// F_beta at beta=1 on raw group sizes (MaxCorrelation.c:396-411)
+static inline double f1_cap(double s, double s1, double s2)
+{
+    double z = 2.0 * s;
+    double denom = 2.0 * s + (s1 - s) + (s2 - s);
+    return z < 0.0001 ? 0.0 : z / denom;
+}
+
+// PositiveSignificance (MaxCorrelation.c:421-434): exact value.
+static double positive_significance(int64_t s, int64_t gr1, int64_t gr2,
+                                    int64_t cov, int64_t size1,
+                                    int64_t size2, const Tables& T)
+{
+    if (gr1 == 0 || gr2 == 0 || s < 1) return 0.0;
+    double q = hyp_q(s - 1, gr2, cov - gr2, gr1, T);
+    double z = q > 0.0 ? -std::log10(q) : INFINITY;
+    if (std::isinf(z) || z > 99.0) z = 99.0;
+    if (z > 98.0) z = 98.0 + f1_cap((double)s, (double)size1,
+                                    (double)size2);
+    return z;
+}
+
+static inline int64_t and_popcnt(const uint64_t* a, const uint64_t* b,
+                                 int64_t lo, int64_t hi)
+{
+    int64_t s = 0;
+    for (int64_t w = lo; w < hi; w++)
+        s += __builtin_popcountll(a[w] & b[w]);
+    return s;
+}
+
+}  // namespace mcx
+
+extern "C" {
+
+// msaT: [C, R] int8 column-major MSA (symbols 0..3 base, 4 '-', 5 ' '),
+// rows pre-sorted by coverage start. Outputs: cov_bits u64[C, W],
+// grp_bits u64[C, 5, W], sizes i32[C, 5], covcnt i32[C],
+// wlo/whi i32[C] coverage word range. W = (R + 63) / 64.
+void maxcorr_build(const int8_t* msaT, int64_t C, int64_t R,
+                   uint64_t* cov_bits, uint64_t* grp_bits,
+                   int32_t* sizes, int32_t* covcnt,
+                   int32_t* wlo, int32_t* whi)
+{
+    int64_t W = (R + 63) / 64;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int64_t c = 0; c < C; c++) {
+        const int8_t* col = msaT + c * R;
+        uint64_t* cv = cov_bits + c * W;
+        uint64_t* gp = grp_bits + c * 5 * W;
+        int32_t* sz = sizes + c * 5;
+        int64_t cnt = 0;
+        int64_t lo = W, hi = 0;
+        for (int64_t r = 0; r < R; r++) {
+            int8_t v = col[r];
+            if (v >= 5) continue;
+            int64_t w = r >> 6;
+            uint64_t bit = 1ULL << (r & 63);
+            cv[w] |= bit;
+            gp[(int64_t)v * W + w] |= bit;
+            sz[v]++;
+            cnt++;
+            if (w < lo) lo = w;
+            if (w + 1 > hi) hi = w + 1;
+        }
+        covcnt[c] = (int32_t)cnt;
+        wlo[c] = (int32_t)(lo < hi ? lo : 0);
+        whi[c] = (int32_t)(lo < hi ? hi : 0);
+    }
+}
+
+// Branch-and-bound max scan over seed columns [s0, s1). maxcorrs
+// (f64[C*5]) is in/out: previously accumulated maxes both seed further
+// skipping and stay in the running max (resumable chunking).
+void maxcorr_scan(const uint64_t* cov_bits, const uint64_t* grp_bits,
+                  const int32_t* sizes, const int32_t* covcnt,
+                  const int32_t* wlo, const int32_t* whi,
+                  int64_t C, int64_t R, int64_t s0, int64_t s1,
+                  int64_t mincov, int64_t gap, int64_t maxgroup,
+                  int64_t majority, int64_t fastmode, int64_t nthreads,
+                  double* maxcorrs)
+{
+    int64_t W = (R + 63) / 64;
+    static mcx::Tables* tables = nullptr;
+    static int64_t tables_n = -1;
+    if (tables == nullptr || tables_n < R + 2) {
+        delete tables;
+        tables = new mcx::Tables(R + 2);
+        tables_n = R + 2;
+    }
+    const mcx::Tables& T = *tables;
+
+    // seed/partner gates (models/maxcorr.py compute_maxcorrs)
+    std::vector<uint8_t> seed_ok((size_t)C * 5), part_ok((size_t)C * 5);
+    std::vector<uint8_t> seed_any((size_t)C);
+    for (int64_t c = 0; c < C; c++) {
+        int64_t baseno = 0;
+        for (int s = 0; s < 4; s++) baseno += sizes[c * 5 + s];
+        uint8_t any = 0;
+        for (int s = 0; s < 5; s++) {
+            int64_t sz = sizes[c * 5 + s];
+            uint8_t ok = (sz > mincov / 4) && (sz < maxgroup);
+            part_ok[c * 5 + s] = ok;
+            uint8_t sd = ok && (!majority || baseno > covcnt[c] / 2);
+            seed_ok[c * 5 + s] = sd;
+            any |= sd;
+        }
+        seed_any[c] = any;
+    }
+
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads((int)nthreads);
+#pragma omp parallel
+#endif
+    {
+        std::vector<double> local((size_t)C * 5, 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+        for (int64_t ii = s0; ii < s1; ii++) {
+            if (!seed_any[ii]) continue;
+            const uint64_t* ci = cov_bits + ii * W;
+            const uint64_t* gi = grp_bits + ii * 5 * W;
+            int64_t ilo = wlo[ii], ihi = whi[ii];
+            for (int64_t jj = ii + gap; jj < C; jj++) {
+                int64_t lo = ilo > wlo[jj] ? ilo : wlo[jj];
+                int64_t hi = ihi < whi[jj] ? ihi : whi[jj];
+                const uint64_t* cj = cov_bits + jj * W;
+                int64_t cov = lo < hi
+                    ? mcx::and_popcnt(ci, cj, lo, hi) : 0;
+                if (cov < mincov) break;
+                const uint64_t* gj = grp_bits + jj * 5 * W;
+                // gr1[k] = |G_ii,k ∩ Cov_jj|, gr2[kk] = |Cov_ii ∩ G_jj,kk|
+                int64_t gr1[5], gr2[5];
+                for (int k = 0; k < 5; k++) {
+                    gr1[k] = seed_ok[ii * 5 + k]
+                        ? mcx::and_popcnt(gi + k * W, cj, lo, hi) : 0;
+                    gr2[k] = part_ok[jj * 5 + k]
+                        ? mcx::and_popcnt(ci, gj + k * W, lo, hi) : 0;
+                }
+                for (int k = 0; k < 5; k++) {
+                    if (!seed_ok[ii * 5 + k]) continue;
+                    int64_t g1 = gr1[k];
+                    if (g1 == 0) continue;
+                    double* mi = &local[ii * 5 + k];
+                    double cur_i = maxcorrs[ii * 5 + k] > *mi
+                        ? maxcorrs[ii * 5 + k] : *mi;
+                    for (int kk = 0; kk < 5; kk++) {
+                        if (!part_ok[jj * 5 + kk]) continue;
+                        int64_t g2 = gr2[kk];
+                        if (g2 == 0) continue;
+                        int64_t s = mcx::and_popcnt(gi + k * W,
+                                                    gj + kk * W, lo, hi);
+                        if (s < 1) continue;
+                        if (fastmode) {
+                            double mode = (double)(g1 + 1)
+                                * (double)(g2 + 1) / (double)(cov + 2);
+                            if (!((double)s > mode)) continue;
+                        }
+                        double* mj = &local[jj * 5 + kk];
+                        double cur_j = maxcorrs[jj * 5 + kk] > *mj
+                            ? maxcorrs[jj * 5 + kk] : *mj;
+                        double cur = cur_i < cur_j ? cur_i : cur_j;
+                        int64_t sz1 = sizes[ii * 5 + k];
+                        int64_t sz2 = sizes[jj * 5 + kk];
+                        // upper bound: q >= pmf(s) -> Z <= -log10 pmf
+                        double zub = -T.logpmf(s, g2, g1, cov)
+                                     / mcx::LN10;
+                        double cap = 98.0
+                            + mcx::f1_cap((double)s, (double)sz1,
+                                          (double)sz2);
+                        double cand = zub > 98.0 ? cap : zub;
+                        if (cand <= cur) continue;
+                        double z;
+                        // Chernoff/Hoeffding: q <= exp(-g1*KL(a||b))
+                        // -> Z >= zlb; zlb > 98.5 proves the cap.
+                        double a = (double)s / (double)g1;
+                        double b = (double)g2 / (double)cov;
+                        double zlb = -1.0;
+                        if (a > b && b > 0.0) {
+                            double kl = a * std::log(a / b)
+                                + (a < 1.0
+                                   ? (1.0 - a) * std::log((1.0 - a)
+                                                          / (1.0 - b))
+                                   : 0.0);
+                            zlb = (double)g1 * kl / mcx::LN10;
+                        }
+                        if (zlb > 98.5) z = cap;
+                        else z = mcx::positive_significance(
+                                s, g1, g2, cov, sz1, sz2, T);
+                        if (z > *mi) *mi = z;
+                        if (z > *mj) *mj = z;
+                        cur_i = maxcorrs[ii * 5 + k] > *mi
+                            ? maxcorrs[ii * 5 + k] : *mi;
+                    }
+                }
+            }
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        {
+            for (int64_t g = 0; g < C * 5; g++)
+                if (local[g] > maxcorrs[g]) maxcorrs[g] = local[g];
+        }
+    }
+}
+
+}  // extern "C"

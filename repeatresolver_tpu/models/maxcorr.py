@@ -23,6 +23,8 @@ Parallel_AllMaxCorrsRechner, used even with -p 1):
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import MaxCorrConfig
@@ -72,15 +74,27 @@ def _scan_seed_tiles(i0_list):
 def compute_maxcorrs(msa: np.ndarray, cfg: MaxCorrConfig,
                      tile: int = 256,
                      matmul=np.matmul, fast: bool = False,
-                     threads: int = 0) -> np.ndarray:
+                     threads: int = 0, native: str = "auto",
+                     checkpoint_path: str | None = None) -> np.ndarray:
     """MaxCorrs for a full MSA -> float64 [C*5].
 
     fast=True uses the mode-gated fixed-term significance
     (hypergeom.positive_significance_fast): identical cutoff decisions,
     ~20x cheaper; fast=False is the exact golden-parity path.
     threads>1 forks workers striped over seed tiles and merges with
-    elementwise max — value-identical to the serial scan."""
+    elementwise max — value-identical to the serial scan.
+    native="auto" routes large fast scans through the banded-bitset
+    C++ kernel (compute_maxcorrs_native, value-equal within fp
+    tolerance); "never" forces the numpy path, "always" forces native."""
     msa = np.asarray(msa)
+    if native != "never" and (native == "always" or
+                              (fast and msa.size >= 1 << 22)):
+        try:
+            return compute_maxcorrs_native(
+                msa, cfg, fast=fast, threads=max(threads, 1),
+                checkpoint_path=checkpoint_path)
+        except RuntimeError:
+            pass  # native lib unavailable -> numpy path
     r, c = msa.shape
     signumber = r
     mincov = cfg.mincov
@@ -176,6 +190,56 @@ def _tile_scan(i0_list, groups, coverage, sizes_flat, seed_ok,
                        out=maxcorrs[i0 * 5:i1 * 5])
             np.maximum(maxcorrs[j0 * 5:j1 * 5], zt.max(axis=0),
                        out=maxcorrs[j0 * 5:j1 * 5])
+    return maxcorrs
+
+
+def compute_maxcorrs_native(msa: np.ndarray, cfg: MaxCorrConfig,
+                            fast: bool = True, threads: int = 4,
+                            chunk: int = 4096,
+                            checkpoint_path: str | None = None,
+                            progress: bool = True) -> np.ndarray:
+    """Banded-bitset C++ scan (native/host_ops.cpp maxcorr_scan).
+
+    Same gate/break/value semantics as compute_maxcorrs (threaded-
+    variant contract, MaxCorrelation.c:744-908): value-equal within fp
+    tolerance (~1e-9; libm vs scipy lgamma). Seed columns are scanned
+    in chunks; with checkpoint_path, the accumulated maxes and the
+    next chunk index are written atomically after each chunk, and an
+    interrupted scan resumes from the last completed chunk (the
+    reference's own MaxCorrs-on-disk caching, MaxCorrelation.c:1014,
+    made restartable mid-computation)."""
+    import time
+
+    from ..utils import native
+    from ..utils.checkpoint import _atomic_write
+
+    msa = np.asarray(msa)
+    r, c = msa.shape
+    bits = native.MaxCorrBitsets(msa)       # raises if lib missing
+    maxcorrs = np.zeros(c * 5, np.float64)
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            if (int(z["c"]) == c and int(z["r"]) == r
+                    and bool(z["fast"]) == fast):
+                maxcorrs = z["maxcorrs"].copy()
+                start = int(z["next"])
+    t0 = time.perf_counter()
+    for i0 in range(start, c, chunk):
+        i1 = min(c, i0 + chunk)
+        bits.scan(maxcorrs, i0, i1, cfg.mincov, cfg.min_col_gap,
+                  r, cfg.majority_filter, fast, threads)
+        if checkpoint_path:
+            def w(f, i1=i1):
+                np.savez(f, maxcorrs=maxcorrs, next=i1, c=c, r=r,
+                         fast=fast)
+            _atomic_write(checkpoint_path, w)
+        if progress:
+            dt = time.perf_counter() - t0
+            done = i1 - start
+            eta = dt / done * (c - i1) if done else 0.0
+            print(f"  maxcorr scan {i1}/{c} cols "
+                  f"({dt:.0f}s, eta {eta:.0f}s)", flush=True)
     return maxcorrs
 
 

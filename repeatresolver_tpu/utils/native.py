@@ -61,6 +61,15 @@ def get_lib():
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, i64]
         lib.realign_backtrack.restype = i64
+        lib.maxcorr_build.argtypes = [
+            ctypes.c_void_p, i64, i64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.maxcorr_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            i64, i64, i64, i64, i64, i64, i64, i64, i64, i64,
+            ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -195,3 +204,47 @@ def occurrence_rows(part, reads_padded, rlens):
                                _ptr(reads_padded), _ptr(rlens), b, lmax,
                                _ptr(out))
     return out
+
+
+class MaxCorrBitsets:
+    """Banded bitset state for the native MaxCorrs scan.
+
+    Rows are sorted by coverage start before bit-packing (per-column
+    MaxCorrs are row-order invariant) so each column's coverage spans a
+    narrow word band; the scan intersects only overlapping bands."""
+
+    def __init__(self, msa: np.ndarray):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "maxcorr_build"):
+            raise RuntimeError("native lib unavailable")
+        self.lib = lib
+        msa = np.asarray(msa, np.int8)
+        r, c = msa.shape
+        starts = np.argmax(msa < 5, axis=1)
+        order = np.argsort(starts, kind="stable")
+        msa_t = np.ascontiguousarray(msa[order].T)       # [C, R]
+        self.r, self.c = r, c
+        self.w = (r + 63) // 64
+        self.cov_bits = np.zeros((c, self.w), np.uint64)
+        self.grp_bits = np.zeros((c, 5, self.w), np.uint64)
+        self.sizes = np.zeros((c, 5), np.int32)
+        self.covcnt = np.zeros(c, np.int32)
+        self.wlo = np.zeros(c, np.int32)
+        self.whi = np.zeros(c, np.int32)
+        lib.maxcorr_build(_ptr(msa_t), c, r, _ptr(self.cov_bits),
+                          _ptr(self.grp_bits), _ptr(self.sizes),
+                          _ptr(self.covcnt), _ptr(self.wlo),
+                          _ptr(self.whi))
+
+    def scan(self, maxcorrs: np.ndarray, s0: int, s1: int,
+             mincov: int, gap: int, maxgroup: int, majority: bool,
+             fast: bool, threads: int) -> None:
+        """Scan seed columns [s0, s1), max-accumulating into maxcorrs
+        (float64 [C*5], in/out — prior values both persist and prune)."""
+        assert maxcorrs.dtype == np.float64 and maxcorrs.flags.c_contiguous
+        self.lib.maxcorr_scan(
+            _ptr(self.cov_bits), _ptr(self.grp_bits), _ptr(self.sizes),
+            _ptr(self.covcnt), _ptr(self.wlo), _ptr(self.whi),
+            self.c, self.r, s0, s1, mincov, gap, maxgroup,
+            1 if majority else 0, 1 if fast else 0, threads,
+            _ptr(maxcorrs))

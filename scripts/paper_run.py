@@ -163,7 +163,8 @@ def main():
         t0 = time.perf_counter()
         from repeatresolver_tpu.models import maxcorr
         mc = maxcorr.compute_maxcorrs(msareal, C.MaxCorrConfig(),
-                                      fast=True, threads=args.threads)
+                                      fast=True, threads=args.threads,
+                                      checkpoint_path=mc_path + ".ckpt")
         rio.write_maxcorrs(mc_path, mc)
         log_stage(workdir, "maxcorr", time.perf_counter() - t0,
                   {"nonzero": int((mc > 0).sum())})

@@ -97,3 +97,74 @@ def test_fork_workers_match_serial(planted_msa):
     serial = maxcorr.compute_maxcorrs(msa, cfg, tile=64)
     forked = maxcorr.compute_maxcorrs(msa, cfg, tile=64, threads=3)
     np.testing.assert_array_equal(serial, forked)
+
+
+def _native_or_skip():
+    from repeatresolver_tpu.utils import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "maxcorr_scan"):
+        pytest.skip("native lib unavailable")
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_native_scan_matches_numpy(planted_msa, fast):
+    """Banded-bitset C++ scan (native/host_ops.cpp maxcorr_scan) value-
+    parity with the numpy tile scan. The numpy path rounds Z through a
+    float32 tile before the max; native keeps float64 — hence the 1e-4
+    tolerance on values with exact cutoff decisions."""
+    _native_or_skip()
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    ref = maxcorr.compute_maxcorrs(msa, cfg, fast=fast, native="never")
+    nat = maxcorr.compute_maxcorrs_native(msa, cfg, fast=fast,
+                                          threads=2, progress=False)
+    np.testing.assert_allclose(nat, ref, atol=1e-4)
+    cutoff = cfg.resolved_cutoff(msa.shape[1])
+    np.testing.assert_array_equal(ref > cutoff, nat > cutoff)
+
+
+def test_native_dispatch_from_compute_maxcorrs(planted_msa):
+    """native="always" routes through the C++ kernel and agrees with
+    the default numpy path from the same public entry point."""
+    _native_or_skip()
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    a = maxcorr.compute_maxcorrs(msa, cfg, fast=True, native="never")
+    b = maxcorr.compute_maxcorrs(msa, cfg, fast=True, native="always")
+    np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+def test_native_checkpoint_resume(planted_msa, tmp_path):
+    """An interrupted chunked scan resumes from its checkpoint and
+    produces the one-shot result (paper-scale restartability)."""
+    _native_or_skip()
+    from repeatresolver_tpu.utils import native
+    from repeatresolver_tpu.utils.checkpoint import _atomic_write
+    _, _, msa = planted_msa
+    cfg = MaxCorrConfig(mincov=20)
+    oneshot = maxcorr.compute_maxcorrs_native(msa, cfg, fast=True,
+                                              threads=2, progress=False)
+    r, c = msa.shape
+    # build a genuine partial state: scan only the first 150 seed
+    # columns, checkpoint it as "next=150", then resume.
+    bits = native.MaxCorrBitsets(msa)
+    part = np.zeros(c * 5, np.float64)
+    bits.scan(part, 0, 150, cfg.mincov, cfg.min_col_gap, r,
+              cfg.majority_filter, True, 2)
+    ckpt = str(tmp_path / "mc.npz")
+
+    def w(f):
+        np.savez(f, maxcorrs=part, next=150, c=c, r=r, fast=True)
+    _atomic_write(ckpt, w)
+    resumed = maxcorr.compute_maxcorrs_native(
+        msa, cfg, fast=True, threads=2, chunk=100,
+        checkpoint_path=ckpt, progress=False)
+    np.testing.assert_allclose(resumed, oneshot, atol=1e-12)
+    # stale checkpoint (different shape) is ignored, not mis-resumed
+    def w2(f):
+        np.savez(f, maxcorrs=part[:5], next=150, c=1, r=r, fast=True)
+    _atomic_write(ckpt, w2)
+    fresh = maxcorr.compute_maxcorrs_native(
+        msa, cfg, fast=True, threads=2, checkpoint_path=ckpt,
+        progress=False)
+    np.testing.assert_allclose(fresh, oneshot, atol=1e-12)
