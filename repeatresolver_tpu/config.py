@@ -88,6 +88,9 @@ class RealignerConfig:
                                # native (C++ host kernel, exact mode)
     checkpoint_every_round: bool = True  # best-MSA persistence semantics of
                                # PW_ReAligner.c:1741
+    mesh_devices: int = 0      # >1: shard each block's rows over a
+                               # device mesh (parallel/sharded.py);
+                               # trajectory bit-equal to single-device
 
 
 @dataclass(frozen=True)

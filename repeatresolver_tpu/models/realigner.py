@@ -330,13 +330,18 @@ class BatchedRealigner:
 
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
                  block_rows: int = 8, mode: str = "exact",
-                 chunk: int = 256, kernel: str = "xla"):
+                 chunk: int = 256, kernel: str = "xla", mesh=None):
         assert mode in ("exact", "staircase")
         assert kernel in ("xla", "pallas", "native", "auto")
         if kernel == "auto":
             import jax
             kernel = ("pallas" if jax.default_backend() != "cpu"
                       and mode == "staircase" else "xla")
+        # mesh mode: block rows sharded over the mesh, counts replicated,
+        # count deltas psum'd (parallel/sharded.sharded_block_realign);
+        # bit-equal trajectory to the single-device XLA path.
+        self.mesh = mesh
+        self._mesh_cache: dict = {}
         self.msa = np.ascontiguousarray(msa, dtype=np.int8)
         self.counts = symbol_counts(self.msa)
         self.bandwidth = bandwidth
@@ -417,6 +422,10 @@ class BatchedRealigner:
             ways[b, :lengths[b]] = way_list[b]
             if lengths[b] and lengths[b] < lpad:
                 ways[b, lengths[b]:] = way_list[b][-1]
+        if self.mesh is not None:
+            self._realign_block_mesh(rows, rows_old, lengths, seqs,
+                                     ways, c, cpad, br)
+            return
         if self.kernel == "native" and self.mode == "exact":
             from ..utils import native as nat
             cap = 512
@@ -512,20 +521,94 @@ class BatchedRealigner:
                                "MAX_INSERTS or use the serial engine")
         self._apply_block(rows, rows_old, new_rows, iy, ib, inn)
 
-    def _apply_block(self, rows, rows_old, new_rows, iy, ib, inn):
+    def _realign_block_mesh(self, rows, rows_old, lengths, seqs, ways,
+                            c, cpad, br):
+        """Mesh-sharded block step: rows data-parallel over the mesh
+        'rows' axis, counts replicated, count delta psum'd on device
+        (parallel/sharded.sharded_block_realign). Blocks are padded to
+        a mesh multiple with duplicates of row 0 whose outputs are
+        discarded and whose delta contribution is masked out, so the
+        trajectory is bit-equal to the single-device XLA path."""
+        counts = self.counts
+        bs = len(rows)
+        n = int(self.mesh.devices.size)
+        widen = 1
+        if self.mode == "staircase":
+            t = self.chunk
+            starts = np.arange(0, ways.shape[1], t)
+            ends = np.minimum(starts + t - 1, ways.shape[1] - 1)
+            drift = int((ways[:, ends] - ways[:, starts]).max()) \
+                if len(starts) else 0
+            while widen * t < drift and widen < 8:
+                widen *= 2
+        bpad = -(-bs // n) * n
+        if bpad != bs:
+            p = bpad - bs
+            rows_old = np.concatenate(
+                [rows_old, np.repeat(rows_old[:1], p, axis=0)])
+            seqs = np.concatenate([seqs, np.repeat(seqs[:1], p, axis=0)])
+            ways = np.concatenate([ways, np.repeat(ways[:1], p, axis=0)])
+            lengths = np.concatenate([lengths,
+                                      np.repeat(lengths[:1], p)])
+        counts_p = np.zeros((cpad, 6), np.int32)
+        counts_p[:c] = counts
+        rows_p = np.full((bpad, cpad), 5, np.int8)
+        rows_p[:, :c] = rows_old
+        bh = self.bandwidth // 2
+        if self.mode == "staircase":
+            from ..ops import staircase_realign as sr
+            anf_full = sr.staircase_anf(ways, lengths, self.bandwidth,
+                                        self.chunk, c)
+        else:
+            anf_full = np.maximum(0, ways - bh).astype(np.int32)
+        last_way = ways[np.arange(bpad), np.maximum(lengths - 1, 0)]
+        entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+        valid = np.zeros(bpad, np.int32)
+        valid[:bs] = 1
+        key = (self.mode, widen)
+        step = self._mesh_cache.get(key)
+        if step is None:
+            from ..parallel import sharded
+            step = sharded.sharded_block_realign(
+                self.mesh, self.bandwidth, mode=self.mode,
+                chunk=self.chunk, widen=widen)
+            self._mesh_cache[key] = step
+        new_rows, iy, ib, inn, delta = step(
+            counts_p, rows_p, seqs, ways, lengths, anf_full,
+            entry_bound, valid, np.int32(c))
+        new_rows = np.asarray(new_rows)[:bs, :c]
+        iy = np.asarray(iy)[:bs]
+        ib = np.asarray(ib)[:bs]
+        inn = np.asarray(inn)[:bs]
+        if (inn >= br.MAX_INSERTS).any():
+            raise RuntimeError("insert buffer overflow; raise "
+                               "MAX_INSERTS or use the serial engine")
+        self._apply_block(rows, rows_old[:bs, :c], new_rows, iy, ib,
+                          inn, delta=np.asarray(delta)[:c])
+
+    def _apply_block(self, rows, rows_old, new_rows, iy, ib, inn,
+                     delta=None):
         """Replace rows, update counts incrementally, splice inserted
         columns (each its own column, reference semantics; fills use
         the post-placement neighbor rule, which for chained same-gap
-        inserts equals the reference's chained rule)."""
+        inserts equals the reference's chained rule).
+
+        delta: optional precomputed [C, 6] count delta for the row
+        substitutions (the mesh path's psum over devices) — replaces
+        the per-row host scatter with one vector add."""
         msa, counts = self.msa, self.counts
         c = msa.shape[1]
-        for b, k in enumerate(rows):
-            old = msa[k]
-            new = new_rows[b]
-            d = np.nonzero(old != new)[0]
-            np.subtract.at(counts, (d, old[d].astype(np.int64)), 1)
-            np.add.at(counts, (d, new[d].astype(np.int64)), 1)
-            msa[k] = new
+        if delta is not None:
+            counts += delta
+            msa[rows] = new_rows
+        else:
+            for b, k in enumerate(rows):
+                old = msa[k]
+                new = new_rows[b]
+                d = np.nonzero(old != new)[0]
+                np.subtract.at(counts, (d, old[d].astype(np.int64)), 1)
+                np.add.at(counts, (d, new[d].astype(np.int64)), 1)
+                msa[k] = new
         all_ins = []  # (gap, row order, discovery order, row, base)
         for b, k in enumerate(rows):
             n = int(inn[b])
@@ -566,11 +649,17 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     validate: bool = False,
                     mode: str = "auto",
                     kernel: str = "auto",
-                    score_log_path: str | None = None) -> np.ndarray:
+                    score_log_path: str | None = None,
+                    mesh=None) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
     realign(). With checkpoint_path, state is saved atomically per
     improving round (the reference's best-MSA-per-round semantics,
-    PW_ReAligner.c:1741) and resume=True restarts from it."""
+    PW_ReAligner.c:1741) and resume=True restarts from it.
+
+    mesh: a jax.sharding.Mesh with a 'rows' axis — each block's rows
+    are sharded over it with the count-delta merged by psum
+    (parallel/sharded.sharded_block_realign); trajectory is bit-equal
+    to the single-device XLA path."""
     import time
 
     from ..utils import checkpoint as ckpt
@@ -598,7 +687,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                       "xla")
     eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
                            block_rows=block_rows or cfg.block_rows,
-                           mode=mode, kernel=kernel)
+                           mode=mode, kernel=kernel, mesh=mesh)
     eng.ent_al_gapper()
     best_msa = None
     rounds = start_round

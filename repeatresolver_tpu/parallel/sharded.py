@@ -76,6 +76,61 @@ def sharded_realign_step(mesh: Mesh, ncols: int, bandwidth: int):
     return jax.jit(fn)
 
 
+def sharded_block_realign(mesh: Mesh, bandwidth: int, mode: str = "exact",
+                          chunk: int = 256, widen: int = 1):
+    """Production mesh step for BatchedRealigner: the block's rows are
+    sharded over the mesh 'rows' axis, the column histogram is
+    replicated, and the count delta is psum'd over ICI — the collective
+    analogue of the reference's disjoint-stripe thread writes with
+    merge-by-sum (MaxCorrelation.c thread pattern; PW_ReAligner stripes).
+
+    The DP math is the identical XLA fill + backtrack the single-device
+    engine runs, so the block-Jacobi trajectory is bit-equal to the
+    unsharded path (tested in tests/test_sharded.py).
+
+    Returns a jitted fn(counts [Cp,6], rows_old [B,Cp], seqs [B,L],
+    ways [B,L], lengths [B], anf_full [B,L], entry_bound [B],
+    valid [B], ncols) -> (new_rows, iy, ib, inn, delta[Cp,6]) with B
+    divisible by the mesh size; rows with valid=0 (padding duplicates)
+    are excluded from the delta.
+    """
+    if mode == "staircase":
+        from ..ops import staircase_realign as sr
+    w_codes = bandwidth + (widen * chunk if mode == "staircase" else 0)
+
+    def local(counts, rows_old, seqs, ways, lengths, anf_full,
+              entry_bound, valid, ncols):
+        if mode == "staircase":
+            codes, fband, fanf = sr.staircase_fill(
+                counts, rows_old, seqs, ways, lengths, ncols,
+                bandwidth=bandwidth, chunk=chunk, widen=widen)
+        else:
+            codes, fband, fanf = br.banded_fill(
+                counts, rows_old, seqs, ways, lengths, ncols,
+                bandwidth=bandwidth)
+        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
+            ncols, cpad=rows_old.shape[1], bandwidth=w_codes)
+        sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
+        rowmask = (valid > 0)[:, None, None]
+        colmask = (jnp.arange(rows_old.shape[1]) < ncols)[None, :, None]
+
+        def hist(rows):
+            eq = rows.astype(jnp.int32)[:, :, None] == sym
+            return (eq & rowmask & colmask).sum(axis=0).astype(jnp.int32)
+
+        delta = jax.lax.psum(hist(new_rows) - hist(rows_old), "rows")
+        return new_rows, iy, ib, inn, delta
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("rows"), P("rows"), P("rows"), P("rows"),
+                  P("rows"), P("rows"), P("rows"), P()),
+        out_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_maxcorr_scores(mesh: Mesh):
     """Column-sharded group-intersection scores: each device holds a
     shard of seed groups, matmuls against the replicated full group
@@ -138,3 +193,35 @@ def dryrun(n_devices: int, bandwidth: int = 128) -> None:
     schnitt, gmax = mm(groups, groups)
     schnitt.block_until_ready()
     assert schnitt.shape == (c5, c5)
+
+    # production mesh path: realign a real synthetic MSA to convergence
+    # through BatchedRealigner's sharded block sweeps and assert the
+    # trajectory is bit-equal to the single-device block-Jacobi run and
+    # the counts invariant holds (W_Con_Checker semantics).
+    from ..config import RealignerConfig
+    from ..models import realigner
+
+    tlen = 240
+    tpl = rng.integers(0, 4, tlen)
+    msa2 = np.full((16, tlen), 5, np.int8)
+    for k in range(16):
+        lo = int(rng.integers(0, 20))
+        hi = tlen - int(rng.integers(0, 20))
+        seg = tpl[lo:hi].copy()
+        sub = rng.random(len(seg)) < 0.08
+        seg[sub] = rng.integers(0, 4, int(sub.sum()))
+        gap = rng.random(len(seg)) < 0.10
+        seg[gap] = 4
+        msa2[k, lo:hi] = seg
+    cfg = RealignerConfig(bandwidth=96, block_rows=16)
+    log_single: list = []
+    ref = realigner.realign_batched(msa2.copy(), cfg,
+                                    score_log=log_single, mode="exact",
+                                    kernel="xla")
+    log_mesh: list = []
+    out = realigner.realign_batched(msa2.copy(), cfg,
+                                    score_log=log_mesh, mode="exact",
+                                    mesh=mesh)
+    assert log_mesh == log_single, (log_mesh, log_single)
+    np.testing.assert_array_equal(out, ref)
+    realigner.validate_counts(out, realigner.symbol_counts(out))

@@ -70,11 +70,15 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
         import jax
         jax.profiler.start_trace(profile_dir)
     if cfg.realigner.block_rows > 1:
+        mesh = None
+        if cfg.realigner.mesh_devices > 1:
+            from .parallel import sharded
+            mesh = sharded.make_mesh(cfg.realigner.mesh_devices)
         best = realigner.realign_batched(
             msa, cfg.realigner, out_path=msareal_path, score_log=log,
             checkpoint_path=os.path.join(workdir, name + "_realign.ckpt"),
             stats=rstats, mode=cfg.realigner.mode,
-            kernel=cfg.realigner.kernel)
+            kernel=cfg.realigner.kernel, mesh=mesh)
     else:
         best = realigner.realign(msa, cfg.realigner,
                                  out_path=msareal_path, score_log=log)

@@ -47,3 +47,56 @@ def test_sharded_realign_counts_consistent():
         expect[:, s] += ((new_rows == s).sum(axis=0)
                          - (msa == s).sum(axis=0))
     np.testing.assert_array_equal(new_counts, expect)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device virtual mesh")
+@pytest.mark.parametrize("mode", ["exact", "staircase"])
+def test_mesh_realign_trajectory_matches_single_device(mode):
+    """Production integration (BatchedRealigner mesh mode): realigning
+    to convergence with each block's rows sharded over the 8-device
+    mesh must produce the bit-identical score trajectory and final MSA
+    as the single-device block-Jacobi run, and the counts invariant
+    must hold (W_Con_Checker, PW_ReAligner.c)."""
+    from test_batched_realigner import make_msa
+
+    from repeatresolver_tpu.config import RealignerConfig
+    from repeatresolver_tpu.models import realigner
+
+    msa = make_msa(7, rows=20, tlen=300)
+    cfg = RealignerConfig(bandwidth=96, block_rows=16)
+    log1: list = []
+    ref = realigner.realign_batched(msa.copy(), cfg, score_log=log1,
+                                    mode=mode, kernel="xla")
+    mesh = sharded.make_mesh(8)
+    log2: list = []
+    out = realigner.realign_batched(msa.copy(), cfg, score_log=log2,
+                                    mode=mode, mesh=mesh)
+    assert log1 == log2
+    np.testing.assert_array_equal(ref, out)
+    realigner.validate_counts(out, realigner.symbol_counts(out))
+    # the run must actually have improved (non-degenerate fixture)
+    assert min(log1) < log1[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device virtual mesh")
+def test_mesh_realign_uneven_block_padding():
+    """Blocks not divisible by the mesh size are padded with masked
+    duplicate rows; results must still match single-device exactly."""
+    from test_batched_realigner import make_msa
+
+    from repeatresolver_tpu.config import RealignerConfig
+    from repeatresolver_tpu.models import realigner
+
+    msa = make_msa(9, rows=13, tlen=260)      # 13 % 8 != 0
+    cfg = RealignerConfig(bandwidth=96, block_rows=5)  # 5 % 8 != 0
+    log1: list = []
+    ref = realigner.realign_batched(msa.copy(), cfg, score_log=log1,
+                                    mode="exact", kernel="xla")
+    log2: list = []
+    out = realigner.realign_batched(
+        msa.copy(), cfg, score_log=log2, mode="exact",
+        mesh=sharded.make_mesh(8))
+    assert log1 == log2
+    np.testing.assert_array_equal(ref, out)
