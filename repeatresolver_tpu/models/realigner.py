@@ -90,6 +90,8 @@ class RealignEngine:
     counts: np.ndarray = field(init=False)
 
     def __post_init__(self):
+        from ..utils.hostmem import tune_allocator
+        tune_allocator()   # column splices need warm-page reuse
         self.msa = np.ascontiguousarray(self.msa, dtype=np.int8)
         self.counts = symbol_counts(self.msa)
 
@@ -297,7 +299,7 @@ class RealignEngine:
                 prv = cur[:, y]
                 col[(nxt == 5) | (prv == 5)] = 5
             col[k] = base
-            cur = np.insert(cur, y + 1, col, axis=1)
+            cur = _splice_cols(cur, [y + 1], col[None])
         self.msa = cur
         self.counts = symbol_counts(cur)
 
@@ -306,6 +308,41 @@ class RealignEngine:
     def overall_pair(self) -> tuple[int, int]:
         self._drop_empty_columns()
         return overall_score_pair(self.counts)
+
+
+def _splice_cols(arr: np.ndarray, positions, cols) -> np.ndarray:
+    """np.insert(arr, positions, cols, axis=1) for ascending positions
+    at memcpy speed. numpy's multi-insert goes through a fancy-index
+    assignment over every element (~60x slower than slice copies at MSA
+    scale — profiled 80 s of a 93 s paper-scale sweep); this splices
+    contiguous column segments instead. positions are pre-insertion
+    indices into arr (np.insert semantics; ties keep given order);
+    cols[i] is the inserted column [R]."""
+    r, c = arr.shape
+    n = len(positions)
+    out = np.empty((r, c + n), arr.dtype)
+    prev = 0
+    for i, p in enumerate(positions):
+        out[:, prev + i:p + i] = arr[:, prev:p]
+        out[:, p + i] = cols[i]
+        prev = p
+    out[:, prev + n:] = arr[:, prev:]
+    return out
+
+
+def _splice_rows(arr: np.ndarray, positions, rows) -> np.ndarray:
+    """np.insert(arr, positions, rows, axis=0) for ascending positions
+    at memcpy speed (see _splice_cols)."""
+    c = arr.shape[0]
+    n = len(positions)
+    out = np.empty((c + n,) + arr.shape[1:], arr.dtype)
+    prev = 0
+    for i, p in enumerate(positions):
+        out[prev + i:p + i] = arr[prev:p]
+        out[p + i] = rows[i]
+        prev = p
+    out[prev + n:] = arr[prev:]
+    return out
 
 
 def validate_counts(msa: np.ndarray, counts: np.ndarray) -> None:
@@ -331,6 +368,8 @@ class BatchedRealigner:
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
                  block_rows: int = 8, mode: str = "exact",
                  chunk: int = 256, kernel: str = "xla", mesh=None):
+        from ..utils.hostmem import tune_allocator
+        tune_allocator()   # big-MSA splices need warm-page reuse
         assert mode in ("exact", "staircase")
         assert kernel in ("xla", "pallas", "native", "auto")
         if kernel == "auto":
@@ -632,12 +671,11 @@ class BatchedRealigner:
                 positions.append(gap + 1)
                 cols.append(col)
             cols_arr = np.stack(cols)                 # [n_ins, R]
-            self.msa = np.insert(msa, positions, cols_arr.T, axis=1)
+            self.msa = _splice_cols(msa, positions, cols_arr)
             col_counts = np.stack(
                 [np.bincount(col, minlength=6) for col in cols_arr]
             ).astype(counts.dtype)
-            self.counts = np.insert(counts, positions, col_counts,
-                                    axis=0)
+            self.counts = _splice_rows(counts, positions, col_counts)
 
 
 def realign_batched(msa: np.ndarray, cfg: RealignerConfig,

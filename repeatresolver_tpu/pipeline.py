@@ -34,6 +34,8 @@ def run_pipeline(cfg: PipelineConfig, workdir: str,
     """profile_dir: when set, a jax.profiler trace of the realignment
     phase is written there (the reference's only tracing is wall-clock
     prints, SURVEY.md §5)."""
+    from .utils.hostmem import tune_allocator
+    tune_allocator()
     os.makedirs(workdir, exist_ok=True)
     ds = simulator.simulate(cfg.simulator)
     paths = ds.write(workdir)

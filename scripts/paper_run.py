@@ -46,6 +46,8 @@ def log_stage(workdir, stage, dt, extra=None):
 
 
 def main():
+    from repeatresolver_tpu.utils.hostmem import tune_allocator
+    tune_allocator()
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="runs/paper")
     ap.add_argument("-c", type=int, default=40)

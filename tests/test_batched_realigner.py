@@ -167,3 +167,23 @@ def test_staircase_block1_matches_serial():
             mode="staircase", kernel=kern)
         assert log_s == log_b, kern
         np.testing.assert_array_equal(out_s, out_b)
+
+
+def test_splice_matches_np_insert():
+    """The memcpy-speed column/row splices must reproduce np.insert
+    exactly, including multiple inserts at the same gap (tie order)."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 6, (7, 40)).astype(np.int8)
+    positions = [0, 3, 3, 3, 17, 40, 40]
+    cols = rng.integers(0, 6, (len(positions), 7)).astype(np.int8)
+    got = realigner._splice_cols(arr, positions, cols)
+    want = np.insert(arr, positions, cols.T, axis=1)
+    np.testing.assert_array_equal(got, want)
+    mat = rng.integers(0, 9, (40, 6)).astype(np.int32)
+    rows = rng.integers(0, 9, (len(positions), 6)).astype(np.int32)
+    got = realigner._splice_rows(mat, positions, rows)
+    want = np.insert(mat, positions, rows, axis=0)
+    np.testing.assert_array_equal(got, want)
+    # empty insert list
+    np.testing.assert_array_equal(
+        realigner._splice_cols(arr, [], np.zeros((0, 7), np.int8)), arr)
