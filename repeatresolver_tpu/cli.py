@@ -219,9 +219,11 @@ def main(argv=None):
             path = os.path.join(d, f"{kind}SubdivisionOf{suffix}")
             if os.path.exists(path):
                 res = rio.read_ints(path)
-                q = am.resolution_quality(gt, res)
+                q = am.resolution_quality(gt, res,
+                                          mask_unassigned=False)
                 print(f"{kind}: truepositives {q.truepositives}, "
                       f"falsepositives {q.falsepositives}")
+                print(f"{kind} conconf: {q.conconfpositives}")
 
     elif args.cmd == "pipeline":
         from .pipeline import run_pipeline

@@ -71,11 +71,19 @@ def _mutual_best(matrix3: np.ndarray) -> QualityResult:
 
 
 def resolution_quality(ground_truth: np.ndarray,
-                       resolution: np.ndarray) -> QualityResult:
-    """ResolutionQuality (SimDataAssessment.py:269-351)."""
+                       resolution: np.ndarray,
+                       mask_unassigned: bool = True) -> QualityResult:
+    """ResolutionQuality. The two reference scripts differ:
+    SimDataAssessment.py:269-279 restricts ground-truth groups to rows
+    the resolution assigned (GroundTruthResolution2); the transposon
+    variant (TransposonAssessment.py:163-170) uses the RAW ground-truth
+    groups, so unassigned rows deflate the recall fractions. Default is
+    the SimData behavior; pass mask_unassigned=False for the transposon
+    contract (golden-tested in tests/test_golden_transposon.py)."""
     ground_truth = np.asarray(ground_truth)
     resolution = np.asarray(resolution)
-    gt2 = np.where(resolution > -1, ground_truth, -1)
+    gt2 = (np.where(resolution > -1, ground_truth, -1)
+           if mask_unassigned else ground_truth)
     groups = group_maker(gt2)
     nres = int(resolution.max()) + 1
     m1 = np.zeros((len(groups), nres))
