@@ -244,12 +244,22 @@ def compute_maxcorrs_native(msa: np.ndarray, cfg: MaxCorrConfig,
 
 
 def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
-                            tile: int = 256) -> np.ndarray:
+                            tile: int = 256, mesh=None) -> np.ndarray:
     """Device path: one-hot groups built on device, MXU int8 matmuls per
     tile pair, f32 hypergeometric on device, per-group max accumulated
-    on device. Only the [C*5] result and per-tile alive masks cross the
-    host boundary. Semantics mirror compute_maxcorrs; Z values are f32
-    (~1e-3) — use compute_maxcorrs for golden parity."""
+    on device — the whole gated scan (seed gates, >=gap pair distance,
+    coverage break, per-group max) is ONE dispatch: a fori_loop over
+    seed tiles whose partner sweep is a while_loop that exits at the
+    coverage break on device (MaxCorrelation.c:804-810 semantics; the
+    old host tile-pair loop paid a blocking alive readback per tile).
+
+    mesh: a jax.sharding.Mesh with a 'rows' axis — seed tiles are
+    striped round-robin over the devices (the reference's pthread seed
+    stripes, MaxCorrelation.c:796) and the per-device accumulators
+    merge with an elementwise pmax (the thread merge, :881-891).
+
+    Semantics mirror compute_maxcorrs; Z values are f32 (~1e-3) — use
+    compute_maxcorrs for golden parity."""
     import jax
     import jax.numpy as jnp
 
@@ -279,12 +289,11 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
     partner_ok = size_ok.reshape(cpad, 5)
 
     t = tile
+    nt = cpad // t
 
-    @jax.jit
-    def tile_step(acc, alive, i0, j0):
-        gi = jax.lax.dynamic_slice(groups, (i0 * 5, 0), (t * 5, r))
+    def tile_step(acc, alive, i0, j0, gi, ci, sok, szi,
+                  groups, coverage, partner_ok, sizes):
         gj = jax.lax.dynamic_slice(groups, (j0 * 5, 0), (t * 5, r))
-        ci = jax.lax.dynamic_slice(coverage, (i0, 0), (t, r))
         cj = jax.lax.dynamic_slice(coverage, (j0, 0), (t, r))
         shared = jnp.dot(ci, cj.T,
                          preferred_element_type=jnp.int32)
@@ -300,20 +309,17 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
         gr1 = jnp.dot(gi, cj.T, preferred_element_type=jnp.int32)
         gr2 = jnp.dot(ci, gj.T, preferred_element_type=jnp.int32)
 
-        sok = jax.lax.dynamic_slice(seed_ok, (i0, 0), (t, 5))
         pok = jax.lax.dynamic_slice(partner_ok, (j0, 0), (t, 5))
-        szi = jax.lax.dynamic_slice(sizes, (i0 * 5,), (t * 5,))
         szj = jax.lax.dynamic_slice(sizes, (j0 * 5,), (t * 5,))
 
         pair_ok = (allowed[:, None, :, None]
                    & sok[:, :, None, None]
                    & pok[None, None, :, :]).reshape(t * 5, t * 5)
-        s4 = schnitt
         g1 = jnp.repeat(gr1, 5, axis=1)            # [t5, t5]
         g2 = jnp.repeat(gr2, 5, axis=0)            # [t5, t5]
         cv = jnp.repeat(jnp.repeat(shared, 5, axis=0), 5, axis=1)
         z = positive_significance_f32(
-            s4, g1, g2, cv, szi[:, None], szj[None, :])
+            schnitt, g1, g2, cv, szi[:, None], szj[None, :])
         z = jnp.where(pair_ok, z, 0.0)
 
         zi = z.max(axis=1)
@@ -326,16 +332,57 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
             acc, jnp.maximum(aj, zj), (j0 * 5,))
         return acc, alive_next
 
-    acc = jnp.zeros(cpad * 5, jnp.float32)
-    seed_any = np.asarray(seed_ok.any(axis=1))
-    for i0 in range(0, cpad, t):
-        if not seed_any[i0:i0 + t].any():
-            continue
-        alive = jnp.asarray(seed_any[i0:i0 + t])
-        for j0 in range(i0, cpad, t):
-            acc, alive = tile_step(acc, alive, i0, j0)
-            if not bool(np.asarray(alive.any())):
-                break
+    def scan(groups, coverage, sizes, seed_ok, partner_ok, i_tiles):
+        """Full gated scan of the seed tiles in i_tiles (int32 [NI];
+        entries >= nt are stride padding and scan nothing)."""
+
+        def one_seed(k, acc):
+            it = jnp.minimum(i_tiles[k], nt - 1)
+            i0 = it * t
+            sok = jax.lax.dynamic_slice(seed_ok, (i0, 0), (t, 5))
+            alive0 = sok.any(axis=1) & (i_tiles[k] < nt)
+            gi = jax.lax.dynamic_slice(groups, (i0 * 5, 0), (t * 5, r))
+            ci = jax.lax.dynamic_slice(coverage, (i0, 0), (t, r))
+            szi = jax.lax.dynamic_slice(sizes, (i0 * 5,), (t * 5,))
+
+            def cond(st):
+                j, alive, _ = st
+                return (j < nt) & alive.any()
+
+            def body(st):
+                j, alive, acc = st
+                acc, alive = tile_step(acc, alive, i0, j * t, gi, ci,
+                                       sok, szi, groups, coverage,
+                                       partner_ok, sizes)
+                return j + 1, alive, acc
+
+            _, _, acc = jax.lax.while_loop(cond, body,
+                                           (it, alive0, acc))
+            return acc
+
+        acc0 = jnp.zeros(cpad * 5, jnp.float32)
+        return jax.lax.fori_loop(0, i_tiles.shape[0], one_seed, acc0)
+
+    if mesh is None:
+        acc = jax.jit(scan)(groups, coverage, sizes, seed_ok,
+                            partner_ok,
+                            jnp.arange(nt, dtype=jnp.int32))
+    else:
+        from jax.sharding import PartitionSpec as P
+        n = int(mesh.devices.size)
+        ni = -(-nt // n)
+
+        def local(groups, coverage, sizes, seed_ok, partner_ok):
+            dev_i = jax.lax.axis_index("rows").astype(jnp.int32)
+            i_tiles = dev_i + n * jnp.arange(ni, dtype=jnp.int32)
+            acc = scan(groups, coverage, sizes, seed_ok, partner_ok,
+                       i_tiles)
+            return jax.lax.pmax(acc, "rows")
+
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(), P(), P(), P()),
+                           out_specs=P(), check_vma=False)
+        acc = jax.jit(fn)(groups, coverage, sizes, seed_ok, partner_ok)
     return np.asarray(acc)[: c * 5].astype(np.float64)
 
 

@@ -136,6 +136,13 @@ def sharded_maxcorr_scores(mesh: Mesh):
     shard of seed groups, matmuls against the replicated full group
     matrix (MXU), and the global per-group max merges with a pmax.
 
+    This is the collective primitive; the PRODUCTION sharded MaxCorrs —
+    the full gated significance scan (seed gates, >=gap pair distance,
+    coverage break, per-group max, pmax thread-merge,
+    MaxCorrelation.c:744-908) striped over the mesh — is
+    models/maxcorr.compute_maxcorrs_device(mesh=...), value-tested
+    against the host scan in tests/test_sharded.py.
+
     Returns jitted fn(groups_shard [C5/n, R], groups_full [C5, R],
     coverage_full [C, R]) -> (schnitt [C5/n, C5], global_max scalar).
     """
@@ -193,6 +200,18 @@ def dryrun(n_devices: int, bandwidth: int = 128) -> None:
     schnitt, gmax = mm(groups, groups)
     schnitt.block_until_ready()
     assert schnitt.shape == (c5, c5)
+
+    # production sharded MaxCorrs: the full gated scan striped over the
+    # mesh (pmax thread-merge) must equal the single-device device scan
+    # and the host scan within f32 tolerance.
+    from ..config import MaxCorrConfig
+    from ..models import maxcorr as mcx
+
+    mc_cfg = MaxCorrConfig(mincov=8)
+    host_mc = mcx.compute_maxcorrs(msa[:, :256], mc_cfg, native="never")
+    mesh_mc = mcx.compute_maxcorrs_device(msa[:, :256], mc_cfg,
+                                          tile=64, mesh=mesh)
+    assert np.abs(mesh_mc - host_mc).max() < 1e-3
 
     # production mesh path: realign a real synthetic MSA to convergence
     # through BatchedRealigner's sharded block sweeps and assert the

@@ -100,3 +100,46 @@ def test_mesh_realign_uneven_block_padding():
         mesh=sharded.make_mesh(8))
     assert log1 == log2
     np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4,
+                    reason="needs >= 4 devices")
+def test_mesh_maxcorrs_full_gated_scan():
+    """The production sharded MaxCorrs (compute_maxcorrs_device with a
+    mesh: seed tiles striped round-robin over devices like the
+    reference pthread stripes, per-device accumulators merged with
+    pmax — MaxCorrelation.c:796, 881-891) must match the single-device
+    device scan exactly and the exact host scan within f32 tolerance."""
+    from test_golden_maxcorr import planted_msa  # noqa: F401 (fixture)
+
+    from repeatresolver_tpu.config import MaxCorrConfig
+    from repeatresolver_tpu.models import maxcorr
+
+    rng = np.random.default_rng(5)
+    rows, cols = 60, 400
+    consensus = rng.integers(0, 4, cols)
+    msa = np.tile(consensus, (rows, 1)).astype(np.int8)
+    group = np.arange(rows) % 2
+    for cc in [50, 90, 140, 200, 260, 330]:
+        msa[group == 1, cc] = (consensus[cc] + 1) % 4
+    for rr in range(rows):
+        lo = rng.integers(0, 25)
+        hi = cols - rng.integers(0, 25)
+        msa[rr, :lo] = 5
+        msa[rr, hi:] = 5
+    cfg = MaxCorrConfig(mincov=20)
+    host = maxcorr.compute_maxcorrs(msa, cfg, native="never")
+    single = maxcorr.compute_maxcorrs_device(msa, cfg, tile=64)
+    # tile=64 keeps per-device programs far under the XLA:CPU 40 s
+    # collective-rendezvous hard timeout on this oversubscribed box
+    mesh = sharded.make_mesh(4)
+    sharded_mc = maxcorr.compute_maxcorrs_device(msa, cfg, tile=64,
+                                                 mesh=mesh)
+    np.testing.assert_array_equal(sharded_mc, single)
+    np.testing.assert_allclose(single, host, atol=1e-3)
+    # the planted SNP columns must carry significance through the
+    # sharded path
+    cutoff = cfg.resolved_cutoff(msa.shape[1])
+    assert (sharded_mc.reshape(-1, 5).max(axis=1)[[50, 90, 140, 200,
+                                                   260, 330]]
+            > cutoff).all()
