@@ -78,6 +78,18 @@ def main(argv=None):
     s.add_argument("-c", type=int, default=30)
     s.add_argument("-t", type=float, default=0.0)
 
+    s = sub.add_parser("resolve-windows")
+    s.add_argument("msa")
+    s.add_argument("-c", type=int, default=30, help="resolver cov")
+    s.add_argument("-w", type=float, default=0.90,
+                   help="window coverage fraction")
+    s.add_argument("-p", type=int, default=6, help="window parts")
+    s.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator host:port "
+                        "(multi-host mode)")
+    s.add_argument("--procs", type=int, default=None)
+    s.add_argument("--proc-id", type=int, default=None)
+
     s = sub.add_parser("assess")
     s.add_argument("dataset_dir")
     s.add_argument("resolution_dir")
@@ -181,6 +193,20 @@ def main(argv=None):
                                                cutoff=args.t))
         for kind in ("Dropoff", "RelDrop", "Kmeans"):
             print(f"-> {rio.subdivision_path(kind, von, bis, args.msa)}")
+
+    elif args.cmd == "resolve-windows":
+        from .parallel import multihost
+        if args.coordinator:
+            pid, n = multihost.initialize(args.coordinator, args.procs,
+                                          args.proc_id)
+        else:
+            pid, n = args.proc_id or 0, args.procs or 1
+        paths = multihost.resolve_windows(
+            args.msa, ResolverConfig(cov=args.c),
+            WindowConfig(coverage=args.w, parts=args.p),
+            process_id=pid, process_count=n)
+        for p in paths:
+            print(f"-> {p}")
 
     elif args.cmd == "assess":
         from .models.assessment import assess_directory
