@@ -47,11 +47,18 @@ HUGE = np.int64(1) << 40
 
 
 def symbol_counts(msa: np.ndarray) -> np.ndarray:
-    """int64[cols, 6] histogram of symbols per column."""
+    """int64[cols, 6] histogram of symbols per column.
+
+    Chunked over rows: full-MSA boolean temporaries are multi-GB at
+    paper scale, and this VM provisions fresh pages at ~6 MB/s
+    (utils/hostmem.py) — small reused temporaries sidestep that."""
     r, c = msa.shape
     counts = np.zeros((c, 6), np.int64)
-    for s in range(6):
-        counts[:, s] = (msa == s).sum(axis=0)
+    step = max(1, (1 << 24) // max(c, 1))
+    for k0 in range(0, r, step):
+        m = msa[k0:k0 + step]
+        for s in range(6):
+            counts[:, s] += (m == s).sum(axis=0)
     return counts
 
 
@@ -99,25 +106,35 @@ class RealignEngine:
 
     def ent_al_gapper(self) -> int:
         """EntAlGapper: leading/trailing '-' -> ' ' per row, then drop
-        zero-base columns. Returns number of converted cells."""
+        zero-base columns. Returns number of converted cells.
+
+        Chunked over rows: the boolean temporaries are multi-GB at
+        paper scale and this VM faults fresh pages at ~6 MB/s
+        (utils/hostmem.py) — small reused temporaries sidestep that."""
         msa = self.msa
-        base = msa < 4
-        any_base = base.any(axis=1)
-        first = np.where(any_base, base.argmax(axis=1), msa.shape[1])
-        # argmax on a negative-stride view hits a slow path; flip into
-        # a contiguous buffer first
-        rev = np.ascontiguousarray(base[:, ::-1])
-        last = np.where(any_base,
-                        msa.shape[1] - 1 - rev.argmax(axis=1), -1)
-        cols = np.arange(msa.shape[1])[None, :]
-        outside = (cols < first[:, None]) | (cols > last[:, None])
-        conv = outside & (msa == 4)
-        msa[conv] = 5
-        convcnt = conv.sum(axis=0).astype(self.counts.dtype)
-        self.counts[:, 4] -= convcnt
-        self.counts[:, 5] += convcnt
+        r, c = msa.shape
+        cols = np.arange(c)[None, :]
+        convcnt = np.zeros(c, np.int64)
+        total = 0
+        step = max(1, (1 << 24) // max(c, 1))
+        for k0 in range(0, r, step):
+            m = msa[k0:k0 + step]
+            base = m < 4
+            any_base = base.any(axis=1)
+            first = np.where(any_base, base.argmax(axis=1), c)
+            # argmax on a negative-stride view hits a slow path; flip
+            # into a contiguous buffer first
+            rev = np.ascontiguousarray(base[:, ::-1])
+            last = np.where(any_base, c - 1 - rev.argmax(axis=1), -1)
+            outside = (cols < first[:, None]) | (cols > last[:, None])
+            conv = outside & (m == 4)
+            m[conv] = 5
+            convcnt += conv.sum(axis=0)
+            total += int(conv.sum())
+        self.counts[:, 4] -= convcnt.astype(self.counts.dtype)
+        self.counts[:, 5] += convcnt.astype(self.counts.dtype)
         self._drop_empty_columns()
-        return int(conv.sum())
+        return total
 
     def _drop_empty_columns(self) -> None:
         # counts are maintained incrementally at every call site

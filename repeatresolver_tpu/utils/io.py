@@ -100,7 +100,40 @@ def read_template(path: str | os.PathLike) -> np.ndarray:
 
 def read_msa(path: str | os.PathLike) -> np.ndarray:
     """MSA file -> int8[rows, cols]; aborts on ragged rows like the
-    reference readers (PW_ReAligner.c:134, RepeatResolver.c:326)."""
+    reference readers (PW_ReAligner.c:134, RepeatResolver.c:326).
+
+    Fast path: one fromfile read, newline check as a strided gather,
+    chunked symbol decode — a multi-GB paper MSA costs two fresh
+    buffers instead of a per-line list plus full-size temporaries
+    (fresh pages fault at ~6 MB/s on this VM, utils/hostmem.py)."""
+    buf = np.fromfile(path, dtype=np.uint8)
+    if buf.size:
+        nl = np.flatnonzero(buf[:1 << 22] == 10)
+        width = int(nl[0]) if nl.size else -1
+        stride = width + 1
+        if width >= 0 and buf.size % stride in (0, stride - 1):
+            missing_nl = buf.size % stride == stride - 1
+            nrows = buf.size // stride + (1 if missing_nl else 0)
+            full = nrows - (1 if missing_nl else 0)
+            if (buf[width::stride][:full] == 10).all():
+                msa = np.empty((nrows, width), np.int8)
+                step = max(1, (1 << 24) // max(width, 1))
+                ok = True
+                for k0 in range(0, full, step):
+                    k1 = min(full, k0 + step)
+                    view = buf[k0 * stride:k1 * stride].reshape(
+                        k1 - k0, stride)[:, :width]
+                    msa[k0:k1] = SYM2CODE[view]
+                    if (msa[k0:k1] < 0).any():
+                        ok = False
+                        break
+                if ok and missing_nl:
+                    msa[-1] = SYM2CODE[buf[full * stride:]]
+                    ok = not (msa[-1] < 0).any()
+                if ok:
+                    return msa
+    # slow path: ragged or invalid input -> per-line reader with the
+    # reference's abort semantics
     rows = []
     width = None
     with open(path, "rb") as f:
