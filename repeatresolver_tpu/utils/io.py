@@ -76,6 +76,68 @@ def read_fasta(path: str | os.PathLike) -> list[np.ndarray]:
     return out
 
 
+class FastaIndex:
+    """Streaming/offset FASTA access (the reference's Offsetter,
+    InitialAligner.c:99-158): one cheap pass records each record's byte
+    offset; records are then read individually on demand, so a
+    paper-scale reads file never has to live in RAM at once.
+
+    Usage: idx = FastaIndex(path); idx[k] -> int8 codes of record k;
+    iteration yields every record in order."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        self.offsets: list[int] = []
+        ends: list[int] = []
+        pos = 0
+        with open(self.path, "rb") as f:
+            for line in f:
+                if line.startswith(b">"):
+                    if self.offsets:
+                        ends.append(pos)
+                    self.offsets.append(pos)
+                pos += len(line)
+            if self.offsets:
+                ends.append(pos)
+        self._ends = ends
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def __getitem__(self, k: int) -> np.ndarray:
+        if k < 0:
+            k += len(self.offsets)
+        with open(self.path, "rb") as f:
+            f.seek(self.offsets[k])
+            raw = f.read(self._ends[k] - self.offsets[k])
+        body = b"".join(line for line in raw.splitlines()
+                        if not line.startswith(b">"))
+        arr = BASE2CODE[np.frombuffer(body, dtype=np.uint8)]
+        return np.ascontiguousarray(arr[arr >= 0])
+
+    def __iter__(self):
+        with open(self.path, "rb") as f:
+            chunks: list[bytes] = []
+            started = False
+            for line in f:
+                if line.startswith(b">"):
+                    if started:
+                        yield self._decode(chunks)
+                    chunks = []
+                    started = True
+                elif started or line.strip():
+                    started = True
+                    chunks.append(line)
+            if started:
+                yield self._decode(chunks)
+
+    @staticmethod
+    def _decode(chunks: list[bytes]) -> np.ndarray:
+        arr = BASE2CODE[np.frombuffer(b"".join(chunks),
+                                      dtype=np.uint8)]
+        return np.ascontiguousarray(arr[arr >= 0])
+
+
 def write_fasta(path: str | os.PathLike, seqs: Iterable[np.ndarray],
                 line_width: int | None = 100) -> None:
     """'>' headers with no names, wrapped lines (DataSimulator style)."""

@@ -65,3 +65,21 @@ def test_filename_contract():
     assert rio.maxcorrs_path("X_MSAreal") == "MaxCorrsOf_X_MSAreal"
     assert rio.subdivision_path("Kmeans", 0, 500, "X_MSAreal") == \
         "KmeansSubdivisionOf_0_500_X_MSAreal"
+
+
+def test_fasta_index_streaming(tmp_path):
+    """FastaIndex (the reference's Offsetter, InitialAligner.c:99-158):
+    random access by byte offset and streaming iteration both match the
+    in-RAM reader."""
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 4, rng.integers(1, 500)).astype(np.int8)
+            for _ in range(17)]
+    p = tmp_path / "reads.fasta"
+    rio.write_fasta(p, seqs, line_width=60)
+    full = rio.read_fasta(p)
+    idx = rio.FastaIndex(p)
+    assert len(idx) == len(full) == 17
+    for k in (0, 3, 16, -1):
+        np.testing.assert_array_equal(idx[k], full[k])
+    for a, b in zip(idx, full):
+        np.testing.assert_array_equal(a, b)
