@@ -407,6 +407,7 @@ class BatchedRealigner:
         self.chunk = min(chunk, 128) if bandwidth >= 768 and \
             kernel == "pallas" else chunk
         self.kernel = kernel
+        self._pending: list | None = None   # sweep-deferred inserts
 
     def ent_al_gapper(self):
         eng = RealignEngine.__new__(RealignEngine)
@@ -440,13 +441,32 @@ class BatchedRealigner:
         from ..ops import banded_realign as br
         r = self.msa.shape[0]
         bs = self.block_rows
+        # block=1 must drop empty columns and splice inserted ones at
+        # every step (reference W_Con frees empty columns before the
+        # next row, PW_ReAligner.c:706-763, and Column_Adder splices
+        # immediately, 1245-1332). Larger blocks already deviate
+        # (Jacobi): freeze the column geometry for the whole sweep and
+        # apply all inserts in ONE splice at sweep end — each per-block
+        # splice rebuilds the full [R, C] array (2.5 GB at paper
+        # scale), so 200+ immediate splices per sweep cost more than
+        # the DP itself (utils/hostmem.py for why traffic is precious
+        # on this host).
+        defer = bs > 1
+        self._pending = [] if defer else None
+        if defer:
+            self._drop_empty(min_frac=0.02)
         for k0 in range(0, r, bs):
             rows = list(range(k0, min(r, k0 + bs)))
-            # block=1 must drop every step (reference W_Con frees empty
-            # columns before the next row, PW_ReAligner.c:706-763);
-            # larger blocks already deviate (Jacobi), so compact lazily.
-            self._drop_empty(min_frac=0.0 if bs == 1 else 0.02)
+            if not defer:
+                self._drop_empty(min_frac=0.0)
             self._realign_block(rows, br)
+        if defer:
+            pend = self._pending
+            self._pending = None
+            # reference order at one gap: rows in sweep order, reverse
+            # discovery within a row (Column_Adder splice order)
+            pend.sort(key=lambda t: (t[0], t[1], -t[2]))
+            self._do_inserts([(g, k, b) for g, k, o, b in pend])
 
     def _realign_block(self, rows: list[int], br) -> None:
         msa, counts = self.msa, self.counts
@@ -665,34 +685,50 @@ class BatchedRealigner:
                 np.subtract.at(counts, (d, old[d].astype(np.int64)), 1)
                 np.add.at(counts, (d, new[d].astype(np.int64)), 1)
                 msa[k] = new
-        all_ins = []  # (gap, row order, discovery order, row, base)
+        all_ins = []  # (gap, row, discovery order, base)
         for b, k in enumerate(rows):
             n = int(inn[b])
             for o in range(n):
-                all_ins.append((int(iy[b, o]), b, o, k, int(ib[b, o])))
-        if all_ins:
-            # reference order at one gap: reverse discovery within a row
-            all_ins.sort(key=lambda t: (t[0], t[1], -t[2]))
-            r_all = msa.shape[0]
-            positions = []
-            cols = []
-            for gap, _b, _o, k, base in all_ins:
-                col = np.full(r_all, 4, np.int8)
-                if gap == c - 1:
-                    col[:] = 5
-                else:
-                    nxt = msa[:, gap + 1]
-                    prv = msa[:, gap]
-                    col[(nxt == 5) | (prv == 5)] = 5
-                col[k] = base
-                positions.append(gap + 1)
-                cols.append(col)
-            cols_arr = np.stack(cols)                 # [n_ins, R]
-            self.msa = _splice_cols(msa, positions, cols_arr)
-            col_counts = np.stack(
-                [np.bincount(col, minlength=6) for col in cols_arr]
-            ).astype(counts.dtype)
-            self.counts = _splice_rows(counts, positions, col_counts)
+                all_ins.append((int(iy[b, o]), k, o, int(ib[b, o])))
+        if not all_ins:
+            return
+        if self._pending is not None:       # sweep-end batch (see sweep)
+            self._pending.extend(all_ins)
+            return
+        # reference order at one gap: reverse discovery within a row
+        all_ins.sort(key=lambda t: (t[0], t[1], -t[2]))
+        self._do_inserts([(g, k, b) for g, k, o, b in all_ins])
+
+    def _do_inserts(self, ins) -> None:
+        """Splice inserted columns (each its own column, reference
+        semantics; fills use the post-placement neighbor rule, which
+        for chained same-gap inserts equals the reference's chained
+        rule). ins: [(gap, row, base)] already in splice order; fills
+        are computed against the pre-splice MSA for the whole batch."""
+        if not ins:
+            return
+        msa, counts = self.msa, self.counts
+        c = msa.shape[1]
+        r_all = msa.shape[0]
+        positions = []
+        cols = []
+        for gap, k, base in ins:
+            col = np.full(r_all, 4, np.int8)
+            if gap == c - 1:
+                col[:] = 5
+            else:
+                nxt = msa[:, gap + 1]
+                prv = msa[:, gap]
+                col[(nxt == 5) | (prv == 5)] = 5
+            col[k] = base
+            positions.append(gap + 1)
+            cols.append(col)
+        cols_arr = np.stack(cols)                 # [n_ins, R]
+        self.msa = _splice_cols(msa, positions, cols_arr)
+        col_counts = np.stack(
+            [np.bincount(col, minlength=6) for col in cols_arr]
+        ).astype(counts.dtype)
+        self.counts = _splice_rows(counts, positions, col_counts)
 
 
 def realign_batched(msa: np.ndarray, cfg: RealignerConfig,

@@ -1,20 +1,24 @@
 """Host allocator tuning for VMs with slow anonymous-page provisioning.
 
-Measured on this box (firecracker microVM): a FRESH 256 MB numpy
-allocation faults its pages in at ~6 MB/s, while a reused (already
-touched) buffer copies at ~10 GB/s — first-touch page provisioning is
-~1500x slower than memcpy. glibc by default serves >128 KB allocations
-with mmap and munmaps them on free, so every realignment block that
-splices the multi-GB MSA into a new array pays the full first-touch
-cost again; profiled at paper scale this made one sweep hours long
-while the DP kernel itself needed ~3 minutes. Raising M_MMAP_THRESHOLD
-and M_TRIM_THRESHOLD keeps big buffers on the reusable heap: the first
-allocation still faults once, every later one recycles warm pages.
+Root cause, measured on this box (firecracker microVM, THP
+enabled=madvise defrag=madvise): numpy madvises MADV_HUGEPAGE on every
+allocation >=4 MB, and with defrag=madvise each hugepage fault performs
+SYNCHRONOUS memory compaction — first-touch fills run at ~0.01 GB/s
+(/proc/vmstat compact_free_scanned grows by millions per allocation).
+With the madvise disabled the same cold fill runs at ~1-2 GB/s and
+warm buffers copy at ~10 GB/s. At paper scale (2.5 GB MSA) this was
+the difference between a multi-hour realignment sweep and a
+DP-kernel-bound one of a few minutes.
+
+Two further mitigations stay on: raising M_MMAP_THRESHOLD /
+M_TRIM_THRESHOLD keeps <=1 GB buffers on the reusable (warm) heap, and
+callers reuse big buffers where practical (arrays >1 GB exceed the
+mallopt int range and always round-trip through fresh mmaps).
 
 The reference sidesteps this class of problem by allocating linked-list
 nodes incrementally (PW_ReAligner.c malloc-per-column); a dense-array
 engine must manage its big-buffer lifecycle instead — this is that
-subsystem, one mallopt pair deep.
+subsystem.
 """
 from __future__ import annotations
 
@@ -27,6 +31,16 @@ _M_TRIM_THRESHOLD = -1
 _done = False
 
 
+def _disable_numpy_hugepage_madvise() -> None:
+    # runtime equivalent of NUMPY_MADVISE_HUGEPAGE=0 (which only works
+    # if set before numpy import)
+    try:
+        from numpy._core import multiarray as _ma
+    except ImportError:     # numpy < 2
+        from numpy.core import multiarray as _ma  # type: ignore
+    _ma._set_madvise_hugepage(False)
+
+
 def tune_allocator() -> bool:
     """Idempotent; safe no-op off Linux/glibc. Returns True if the
     allocator is (now) tuned."""
@@ -35,6 +49,10 @@ def tune_allocator() -> bool:
         return True
     if not sys.platform.startswith("linux"):
         return False
+    try:
+        _disable_numpy_hugepage_madvise()
+    except Exception:
+        pass
     try:
         libc = ctypes.CDLL("libc.so.6")
         ok1 = libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
