@@ -408,6 +408,7 @@ class BatchedRealigner:
             kernel == "pallas" else chunk
         self.kernel = kernel
         self._pending: list | None = None   # sweep-deferred inserts
+        self._flush_cap = 16384             # max batched inserts
 
     def ent_al_gapper(self):
         eng = RealignEngine.__new__(RealignEngine)
@@ -455,18 +456,40 @@ class BatchedRealigner:
         self._pending = [] if defer else None
         if defer:
             self._drop_empty(min_frac=0.02)
+        import os as _os
+        import time as _time
+        log_every = int(_os.environ.get("RR_SWEEP_LOG", "0") or 0)
+        t_start = _time.perf_counter()
         for k0 in range(0, r, bs):
             rows = list(range(k0, min(r, k0 + bs)))
             if not defer:
                 self._drop_empty(min_frac=0.0)
+            t0 = _time.perf_counter()
             self._realign_block(rows, br)
+            if log_every and (k0 // bs) % log_every == 0:
+                print(f"[sweep] block {k0 // bs}/{-(-r // bs)} "
+                      f"{_time.perf_counter() - t0:.2f}s "
+                      f"elapsed {_time.perf_counter() - t_start:.0f}s "
+                      f"pending {len(self._pending or ())}", flush=True)
+            # bound the deferred-insert batch: each flush rebuilds the
+            # [R, C] array once, and the cols staging array is
+            # n_pending x R bytes — an unbounded sweep-long batch at
+            # paper scale (~20 inserts/row) would stage multi-GB
+            if defer and len(self._pending) >= self._flush_cap:
+                self._flush_pending()
         if defer:
-            pend = self._pending
+            self._flush_pending()
             self._pending = None
-            # reference order at one gap: rows in sweep order, reverse
-            # discovery within a row (Column_Adder splice order)
-            pend.sort(key=lambda t: (t[0], t[1], -t[2]))
-            self._do_inserts([(g, k, b) for g, k, o, b in pend])
+
+    def _flush_pending(self) -> None:
+        pend = self._pending
+        if not pend:
+            return
+        self._pending = []
+        # reference order at one gap: rows in sweep order, reverse
+        # discovery within a row (Column_Adder splice order)
+        pend.sort(key=lambda t: (t[0], t[1], -t[2]))
+        self._do_inserts([(g, k, b) for g, k, o, b in pend])
 
     def _realign_block(self, rows: list[int], br) -> None:
         msa, counts = self.msa, self.counts
@@ -678,13 +701,22 @@ class BatchedRealigner:
             counts += delta
             msa[rows] = new_rows
         else:
+            # one bincount over (col, sym) pairs per block instead of
+            # per-row np.ufunc.at scatters: early rounds change most of
+            # every row (~10^5 positions x block), and ufunc.at is
+            # ~50x slower than bincount at that size
+            old_idx, new_idx = [], []
             for b, k in enumerate(rows):
                 old = msa[k]
                 new = new_rows[b]
                 d = np.nonzero(old != new)[0]
-                np.subtract.at(counts, (d, old[d].astype(np.int64)), 1)
-                np.add.at(counts, (d, new[d].astype(np.int64)), 1)
+                old_idx.append(d * 6 + old[d])
+                new_idx.append(d * 6 + new[d])
                 msa[k] = new
+            c6 = counts.shape[0] * 6
+            sub = np.bincount(np.concatenate(old_idx), minlength=c6)
+            add = np.bincount(np.concatenate(new_idx), minlength=c6)
+            counts += (add - sub).reshape(-1, 6)
         all_ins = []  # (gap, row, discovery order, base)
         for b, k in enumerate(rows):
             n = int(inn[b])
@@ -810,6 +842,13 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         return False
 
     check_improved(write=False)
+    if checkpoint_path is not None and start_round == 0:
+        # round-0 checkpoint right after EntAlGapper: a restarted run
+        # resumes past the expensive MSA read + gapper setup even if
+        # no sweep ever completed
+        ckpt.RealignCheckpoint(
+            msa=eng.msa, round=0, best_mille=best[0], best_uno=best[1],
+            bandwidth=cfg.bandwidth).save(checkpoint_path)
     while rounds < cfg.max_rounds:
         cells += int((eng.msa < 4).sum()) * cfg.bandwidth
         eng.sweep()
