@@ -409,6 +409,9 @@ class BatchedRealigner:
         self.kernel = kernel
         self._pending: list | None = None   # sweep-deferred inserts
         self._flush_cap = 16384             # max batched inserts
+        import os
+        self._hbm_budget = int(os.environ.get(
+            "RR_DEVICE_HBM_BUDGET", 4 << 30))
 
     def ent_al_gapper(self):
         eng = RealignEngine.__new__(RealignEngine)
@@ -514,6 +517,24 @@ class BatchedRealigner:
 
         lpad = bucket(lmax)
         cpad = bucket(c, 512)
+        if (self.mesh is None and self.kernel in ("pallas", "xla")
+                and bs > 8):
+            # bound device HBM: the fill materializes a codes tensor of
+            # lpad*bs*w2 bytes plus a transposed copy (pallas) or the
+            # equivalent staircase buffers (xla). Paper-scale long-piece
+            # buckets (lpad 32k, band 1000, widen 4 -> w2 1512) at
+            # block_rows=64 are ~3.2 GB each — beyond a v5e's free HBM
+            # once windows + backtrack buffers join. Halve the block
+            # until it fits; smaller Jacobi blocks keep the same
+            # convergence contract (block>1 already deviates from the
+            # serial trajectory by design).
+            w2max = (self.bandwidth + 8 * self.chunk
+                     if self.mode == "staircase" else self.bandwidth)
+            if 2 * lpad * bs * w2max > self._hbm_budget:
+                h = (bs // 2 + 7) // 8 * 8
+                self._realign_block(rows[:h], br)
+                self._realign_block(rows[h:], br)
+                return
         seqs = np.zeros((bs, lpad), np.int8)
         ways = np.zeros((bs, lpad), np.int32)
         for b in range(bs):

@@ -247,6 +247,11 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         scratch_shapes=[
             pltpu.VMEM((BR, w2), jnp.int32),            # band state
         ],
+        # paper shapes (band 1000, widen 4 -> w2 1512, chunk 128)
+        # need ~35 MB of scoped VMEM — past XLA's 16 MB default;
+        # v5e has 128 MB so the headroom is real.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["own"],
       wd["gy1"], wd["c4"], wd["dshift"], wd["jadd"], wd["valid"],
