@@ -569,21 +569,30 @@ class BatchedRealigner:
         rows_p[:, :c] = rows_old
 
         bh = self.bandwidth // 2
-        if self.mode == "staircase":
-            from ..ops import staircase_realign as sr
+        use_stair = self.mode == "staircase"
+        if use_stair:
             # measure the column-path drift per chunk: the staircase
             # window [a, a + W + widen*T) covers every reference band in
             # the chunk iff drift <= widen*T. Early-round gap-dense MSAs
-            # drift ~2 cols/base; compacted ones ~1. Bucket widen to a
-            # power of two so XLA compiles once per bucket.
+            # drift ~2 cols/base; compacted ones ~1; full paper-scale
+            # MSAs sit near 4-5 (insert-column density), and short
+            # fragments spread across sparse spans can exceed any fixed
+            # slack. Bucket widen to a power of two so XLA compiles once
+            # per bucket; beyond the cap, fall back to the exact banded
+            # fill for this block (gather-based, drift-proof) instead of
+            # silently truncating the band.
             t = self.chunk
             starts = np.arange(0, ways.shape[1], t)
             ends = np.minimum(starts + t - 1, ways.shape[1] - 1)
             drift = int((ways[:, ends] - ways[:, starts]).max()) \
                 if len(starts) else 0
             widen = 1
-            while widen * t < drift and widen < 8:
+            while widen * t < drift and widen < 16:
                 widen *= 2
+            if widen * t < drift:
+                use_stair = False
+        if use_stair:
+            from ..ops import staircase_realign as sr
             if self.kernel == "pallas":
                 import jax
 

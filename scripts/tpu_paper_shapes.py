@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--sweeps", type=int, default=2)
     ap.add_argument("--kernel", default="pallas",
                     choices=["pallas", "xla"])
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="staircase chunk T (0 = production default)")
     args = ap.parse_args()
 
     from repeatresolver_tpu.utils.hostmem import tune_allocator
@@ -71,9 +73,10 @@ def main():
           f"{chars} chars ({time.perf_counter() - t0:.1f}s)", flush=True)
 
     from repeatresolver_tpu.models.realigner import BatchedRealigner
+    kw = {"chunk": args.chunk} if args.chunk else {}
     eng = BatchedRealigner(msa, bandwidth=args.band,
                            block_rows=args.block_rows,
-                           mode="staircase", kernel=args.kernel)
+                           mode="staircase", kernel=args.kernel, **kw)
     eng.ent_al_gapper()
     rates = []
     for s in range(args.sweeps):

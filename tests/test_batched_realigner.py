@@ -152,6 +152,34 @@ def test_staircase_widen_covers_gap_dense_paths():
     assert min(s_scores) <= exact_best * 1.01 + 10
 
 
+def test_staircase_overcap_drift_falls_back_exact():
+    """A short fragment scattered across a wide span can drift more
+    columns per chunk than any bounded widen slack covers (seen on the
+    full paper-scale MSA). Blocks beyond the cap must fall back to the
+    exact banded fill instead of silently truncating the band — so the
+    staircase trajectory stays identical to exact mode."""
+    msa = make_msa(7, rows=8, tlen=360)
+    # row 0: ~24 bases spread over ~340 columns -> single-chunk drift
+    # ~340 > 16 * chunk(16) = 256, beyond the widen cap
+    rng = np.random.default_rng(41)
+    row = np.full(360, 4, np.int8)
+    cols = np.sort(rng.choice(np.arange(5, 345), 24, replace=False))
+    row[cols] = rng.integers(0, 4, 24).astype(np.int8)
+    msa[0] = row
+    logs = {}
+    for mode in ("exact", "staircase"):
+        eng = realigner.BatchedRealigner(
+            msa.copy(), bandwidth=96, block_rows=2, mode=mode,
+            kernel="xla", chunk=16)
+        eng.ent_al_gapper()
+        log = [eng.overall_pair()]
+        for _ in range(3):
+            eng.sweep()
+            log.append(eng.overall_pair())
+        logs[mode] = log
+    assert logs["staircase"] == logs["exact"]
+
+
 def test_staircase_block1_matches_serial():
     """With the reference-band mask, the staircase window is purely a
     drift-following device: at block_rows=1 it must reproduce the
