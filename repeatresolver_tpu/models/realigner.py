@@ -521,24 +521,6 @@ class BatchedRealigner:
 
         lpad = bucket(lmax)
         cpad = bucket(c, 512)
-        if (self.mesh is None and self.kernel in ("pallas", "xla")
-                and bs > 8):
-            # bound device HBM: the fill materializes a codes tensor of
-            # lpad*bs*w2 bytes plus a transposed copy (pallas) or the
-            # equivalent staircase buffers (xla). Paper-scale long-piece
-            # buckets (lpad 32k, band 1000, widen 4 -> w2 1512) at
-            # block_rows=64 are ~3.2 GB each — beyond a v5e's free HBM
-            # once windows + backtrack buffers join. Halve the block
-            # until it fits; smaller Jacobi blocks keep the same
-            # convergence contract (block>1 already deviates from the
-            # serial trajectory by design).
-            w2max = (self.bandwidth + 8 * self.chunk
-                     if self.mode == "staircase" else self.bandwidth)
-            if 2 * lpad * bs * w2max > self._hbm_budget:
-                h = (bs // 2 + 7) // 8 * 8
-                self._realign_block(rows[:h], br)
-                self._realign_block(rows[h:], br)
-                return
         seqs = np.zeros((bs, lpad), np.int8)
         ways = np.zeros((bs, lpad), np.int32)
         for b in range(bs):
@@ -546,6 +528,55 @@ class BatchedRealigner:
             ways[b, :lengths[b]] = way_list[b]
             if lengths[b] and lengths[b] < lpad:
                 ways[b, lengths[b]:] = way_list[b][-1]
+
+        use_stair = self.mode == "staircase"
+        widen = 1
+        if use_stair:
+            # measure the column-path drift per chunk: the staircase
+            # window [a, a + W + widen*T) covers every reference band in
+            # the chunk iff drift <= widen*T. Early-round gap-dense MSAs
+            # drift ~2 cols/base; compacted ones ~1; full paper-scale
+            # MSAs sit near 4-5 (insert-column density), and short
+            # fragments spread across sparse spans can exceed any fixed
+            # slack. Bucket widen to a short ladder so XLA compiles once
+            # per bucket; a finer ladder than powers of two matters at
+            # paper scale, where drift sits tightly near 4.6*T (MSA
+            # width / row chars) and widen 5 fills 19% fewer window
+            # lanes than widen 8. Beyond the cap, fall back to the
+            # exact banded fill for this block (gather-based,
+            # drift-proof) instead of silently truncating the band.
+            t = self.chunk
+            starts = np.arange(0, ways.shape[1], t)
+            ends = np.minimum(starts + t - 1, ways.shape[1] - 1)
+            drift = int((ways[:, ends] - ways[:, starts]).max()) \
+                if len(starts) else 0
+            widen = next((v for v in self.WIDEN_LADDER
+                          if v * t >= drift), 0)
+            if not widen:
+                use_stair = False
+                widen = 1
+
+        if (self.mesh is None and self.kernel in ("pallas", "xla")
+                and bs > 8):
+            # bound device HBM: the fill materializes a codes tensor of
+            # lpad*bs*w2 bytes plus a transposed copy (pallas) or the
+            # equivalent staircase buffers (xla). Paper-scale long-piece
+            # buckets (lpad 32k, band 1000, widen 5 -> w2 1640) at
+            # block_rows=64 are ~3.4 GB each — beyond a v5e's free HBM
+            # once windows + backtrack buffers join. Halve the block
+            # until it fits; smaller Jacobi blocks keep the same
+            # convergence contract (block>1 already deviates from the
+            # serial trajectory by design). The bound uses the widen
+            # actually chosen for THIS block (not the ladder cap): the
+            # backtrack while_loop's trip count is independent of block
+            # rows, so every halving avoided halves its per-sweep cost.
+            w2max = (self.bandwidth + widen * self.chunk
+                     if use_stair else self.bandwidth)
+            if 2 * lpad * bs * w2max > self._hbm_budget:
+                h = (bs // 2 + 7) // 8 * 8
+                self._realign_block(rows[:h], br)
+                self._realign_block(rows[h:], br)
+                return
         if self.mesh is not None:
             self._realign_block_mesh(rows, rows_old, lengths, seqs,
                                      ways, c, cpad, br)
@@ -573,30 +604,6 @@ class BatchedRealigner:
         rows_p[:, :c] = rows_old
 
         bh = self.bandwidth // 2
-        use_stair = self.mode == "staircase"
-        if use_stair:
-            # measure the column-path drift per chunk: the staircase
-            # window [a, a + W + widen*T) covers every reference band in
-            # the chunk iff drift <= widen*T. Early-round gap-dense MSAs
-            # drift ~2 cols/base; compacted ones ~1; full paper-scale
-            # MSAs sit near 4-5 (insert-column density), and short
-            # fragments spread across sparse spans can exceed any fixed
-            # slack. Bucket widen to a short ladder so XLA compiles once
-            # per bucket; a finer ladder than powers of two matters at
-            # paper scale, where drift sits tightly near 4.6*T (MSA
-            # width / row chars) and widen 5 fills 19% fewer window
-            # lanes than widen 8. Beyond the cap, fall back to the
-            # exact banded fill for this block (gather-based,
-            # drift-proof) instead of silently truncating the band.
-            t = self.chunk
-            starts = np.arange(0, ways.shape[1], t)
-            ends = np.minimum(starts + t - 1, ways.shape[1] - 1)
-            drift = int((ways[:, ends] - ways[:, starts]).max()) \
-                if len(starts) else 0
-            widen = next((v for v in self.WIDEN_LADDER
-                          if v * t >= drift), 0)
-            if not widen:
-                use_stair = False
         if use_stair:
             from ..ops import staircase_realign as sr
             if self.kernel == "pallas":
