@@ -604,6 +604,7 @@ class BatchedRealigner:
         rows_p[:, :c] = rows_old
 
         bh = self.bandwidth // 2
+        time_major = False
         if use_stair:
             from ..ops import staircase_realign as sr
             if self.kernel == "pallas":
@@ -626,15 +627,12 @@ class BatchedRealigner:
                 codes, fband, fanf = pr.staircase_fill_pallas(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
                     bandwidth=self.bandwidth, chunk=self.chunk,
-                    widen=widen,
+                    widen=widen, time_major=True,
                     interpret=jax.default_backend() == "cpu")
-                codes = codes[:bs]
-                fband = fband[:bs]
-                fanf = fanf[:bs]
-                rows_p = rows_p[:bs]
-                seqs = seqs[:bs]
-                ways = ways[:bs]
-                lengths = lengths[:bs]
+                # padded rows (lengths 0) ride through the backtrack
+                # inert; outputs are sliced back to bs below. Slicing
+                # the time-major codes tensor here would copy it.
+                time_major = True
             else:
                 codes, fband, fanf = sr.staircase_fill(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
@@ -649,15 +647,17 @@ class BatchedRealigner:
                 bandwidth=self.bandwidth)
             w_codes = self.bandwidth
             anf_full = np.maximum(0, ways - bh).astype(np.int32)
-        last_way = ways[np.arange(bs), np.maximum(lengths - 1, 0)]
+        last_way = ways[np.arange(len(lengths)),
+                        np.maximum(lengths - 1, 0)]
         entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
         new_rows, best, iy, ib, inn = br.entry_and_backtrack(
             codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
-            np.int32(c), cpad=cpad, bandwidth=w_codes)
-        new_rows = np.asarray(new_rows)[:, :c]
-        iy = np.asarray(iy)
-        ib = np.asarray(ib)
-        inn = np.asarray(inn)
+            np.int32(c), cpad=cpad, bandwidth=w_codes,
+            time_major=time_major)
+        new_rows = np.asarray(new_rows)[:bs, :c]
+        iy = np.asarray(iy)[:bs]
+        ib = np.asarray(ib)[:bs]
+        inn = np.asarray(inn)[:bs]
         if (inn >= br.MAX_INSERTS).any():
             raise RuntimeError("insert buffer overflow; raise "
                                "MAX_INSERTS or use the serial engine")

@@ -204,10 +204,11 @@ def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
     return (jnp.transpose(codes, (1, 0, 2)), final_band, final_anf)
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth", "cpad"))
+@functools.partial(jax.jit, static_argnames=("bandwidth", "cpad",
+                                              "time_major"))
 def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
                         entry_bound, lengths, ncols, *, cpad,
-                        bandwidth):
+                        bandwidth, time_major=False):
     """Entry-column scan + lockstep backtracking on device.
 
     anf_full: int32 [B, L] band start per sequence position (reference
@@ -216,6 +217,10 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     (reference: max(-1, way[len-1]-bh)). ncols is the real (dynamic)
     column count; cpad the static padded capacity. bandwidth is the
     width of the code rows (W, or W+chunk for staircase).
+    time_major: codes laid out [Lc, B, W] (the Pallas kernel's native
+    emission order — consuming it directly saves a [B, L, W]-sized HBM
+    transpose per block); default is [B, Lc, W]. Lc may exceed L
+    (chunk padding); reads are bounded by lengths <= L.
     Returns (new_rows int8 [B, cpad] with 4/base placements (5
     default), best int32 [B], ins_y int32 [B, K], ins_base int8 [B, K],
     ins_n int32 [B])."""
@@ -243,6 +248,16 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     seqs8 = seqs.astype(jnp.int8)
     bidx = jnp.arange(b)
 
+    # one B-element gather per step (three index vectors, not a flat
+    # index: B*Lc*W2 exceeds int32 at paper shapes) instead of
+    # gathering a full [B, W] code row and then indexing into it
+    if time_major:
+        def read_code(xs, off):
+            return codes[xs, bidx, off]
+    else:
+        def read_code(xs, off):
+            return codes[bidx, xs, off]
+
     def cond(state):
         x, y, out, iy, ib, inn, it = state
         return jnp.any((x > -1) & (y > -1)) & (it < cpad + l + w + 8)
@@ -256,8 +271,7 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
         top = anf + w - 1
         above = y > top
         off = jnp.clip(y - anf, 0, w - 1)
-        code = jnp.take_along_axis(
-            codes[bidx, xs], off[:, None], axis=1)[:, 0]
+        code = read_code(xs, off)
         is_last = x == lengths - 1
         sx = jnp.take_along_axis(seqs8, xs[:, None], axis=1)[:, 0]
 

@@ -199,11 +199,17 @@ def _kernel(w, seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bandwidth", "chunk", "interpret",
-                                    "widen"))
+                                    "widen", "time_major"))
 def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
                           *, bandwidth, chunk=256, interpret=False,
-                          widen=1):
-    """Pallas staircase fill; same outputs as staircase_fill."""
+                          widen=1, time_major=False):
+    """Pallas staircase fill; same outputs as staircase_fill.
+
+    time_major=True returns codes in the kernel's native emission
+    layout [Lpad, B, W2] (Lpad = chunk-padded length) — a free reshape
+    instead of the [B, L, W2] transpose, which at paper shapes
+    (B=64, L~33k, W2=1640) costs a ~7 GB HBM round trip per block.
+    entry_and_backtrack(time_major=True) consumes it directly."""
     w = bandwidth
     t = chunk
     b, c = rows_old.shape
@@ -257,7 +263,10 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
       wd["gy1"], wd["c4"], wd["dshift"], wd["jadd"], wd["valid"],
       wd["ok_ins"], wd["lob"], wd["lengths"])
 
-    codes = jnp.transpose(codes.reshape(nc * t, b, w2),
-                          (1, 0, 2))[:, :l]
+    if time_major:
+        codes = codes.reshape(nc * t, b, w2)
+    else:
+        codes = jnp.transpose(codes.reshape(nc * t, b, w2),
+                              (1, 0, 2))[:, :l]
     final_a = wd["a"][:, -1]
     return codes, band_out, final_a

@@ -41,7 +41,13 @@ def main():
         def wrap(*a, **k):
             t0 = time.perf_counter()
             out = fn(*a, **k)
-            jax.block_until_ready(out)
+            # tiny dependent readback (device-side index, scalar
+            # transfer) — block_until_ready hangs on the tunneled
+            # device (see bench.py measurement notes)
+            for leaf in jax.tree.leaves(out):
+                if hasattr(leaf, "ndim"):
+                    np.asarray(leaf[(0,) * leaf.ndim])
+                    break
             acc[name] = acc.get(name, 0.0) + time.perf_counter() - t0
             return out
         return wrap
