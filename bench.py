@@ -112,11 +112,11 @@ def measure(backend=None, variant="fill"):
         def run():
             codes, fband, fanf = pr.staircase_fill_pallas(
                 *args, np.int32(c), bandwidth=w, chunk=t,
-                interpret=interp, time_major=True)
+                interpret=interp, time_major=True, packed=True)
             new_rows, best, iy, ib, inn = br.entry_and_backtrack(
                 codes, fband, fanf, args[2], anf_d, eb_d, args[4],
                 np.int32(c), cpad=c, bandwidth=w + t,
-                time_major=True)
+                time_major=True, packed=True)
             return int(np.asarray(new_rows[0, 0]))
     elif variant == "fused":
         bh = w // 2

@@ -604,7 +604,7 @@ class BatchedRealigner:
         rows_p[:, :c] = rows_old
 
         bh = self.bandwidth // 2
-        time_major = False
+        time_major = packed = False
         if use_stair:
             from ..ops import staircase_realign as sr
             if self.kernel == "pallas":
@@ -627,12 +627,12 @@ class BatchedRealigner:
                 codes, fband, fanf = pr.staircase_fill_pallas(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
                     bandwidth=self.bandwidth, chunk=self.chunk,
-                    widen=widen, time_major=True,
+                    widen=widen, time_major=True, packed=True,
                     interpret=jax.default_backend() == "cpu")
                 # padded rows (lengths 0) ride through the backtrack
                 # inert; outputs are sliced back to bs below. Slicing
                 # the time-major codes tensor here would copy it.
-                time_major = True
+                time_major = packed = True
             else:
                 codes, fband, fanf = sr.staircase_fill(
                     counts_p, rows_p, seqs, ways, lengths, np.int32(c),
@@ -653,7 +653,7 @@ class BatchedRealigner:
         new_rows, best, iy, ib, inn = br.entry_and_backtrack(
             codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
             np.int32(c), cpad=cpad, bandwidth=w_codes,
-            time_major=time_major)
+            time_major=time_major, packed=packed)
         new_rows = np.asarray(new_rows)[:bs, :c]
         iy = np.asarray(iy)[:bs]
         ib = np.asarray(ib)[:bs]

@@ -205,10 +205,10 @@ def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "cpad",
-                                              "time_major"))
+                                              "time_major", "packed"))
 def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
                         entry_bound, lengths, ncols, *, cpad,
-                        bandwidth, time_major=False):
+                        bandwidth, time_major=False, packed=False):
     """Entry-column scan + lockstep backtracking on device.
 
     anf_full: int32 [B, L] band start per sequence position (reference
@@ -251,7 +251,13 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     # one B-element gather per step (three index vectors, not a flat
     # index: B*Lc*W2 exceeds int32 at paper shapes) instead of
     # gathering a full [B, W] code row and then indexing into it
-    if time_major:
+    if packed:
+        assert time_major
+
+        def read_code(xs, off):
+            byte = codes[xs >> 2, bidx, off].astype(jnp.int32)
+            return (byte >> ((xs & 3) * 2)) & 3
+    elif time_major:
         def read_code(xs, off):
             return codes[xs, bidx, off]
     else:

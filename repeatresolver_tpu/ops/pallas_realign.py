@@ -109,9 +109,9 @@ def _prefix_min(v, width):
     return v
 
 
-def _kernel(w, seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
-            c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref, lob_ref,
-            len_ref, codes_ref, bandout_ref, band):
+def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, own_ref,
+            gy1_ref, c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref,
+            lob_ref, len_ref, codes_ref, bandout_ref, band):
     ci = pl.program_id(1)
     t = seq_ref.shape[2]
     w2 = gap_ref.shape[2]
@@ -187,8 +187,23 @@ def _kernel(w, seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
         gap_hit = (m == left + gap_w) | (is_last & (m == left))
         codes32 = jnp.where(gap_hit, 0,
                             jnp.where(m == diag, 1, 2))
-        codes_ref[0, pl.ds(tt, 1), :, :] = \
-            codes32.astype(jnp.uint8)[None, :, :]
+        if packed:
+            # 4 steps share a byte (2 bits each): read-modify-write the
+            # VMEM output block; only the completed byte reaches HBM.
+            r = tt & 3
+            mult = jnp.where(r == 0, 1,
+                             jnp.where(r == 1, 4,
+                                       jnp.where(r == 2, 16, 64)))
+            contrib = codes32 * mult
+            prev = jnp.where(
+                r == 0, 0,
+                codes_ref[0, pl.ds(tt // 4, 1), :, :][0]
+                .astype(jnp.int32))
+            codes_ref[0, pl.ds(tt // 4, 1), :, :] = \
+                (prev | contrib).astype(jnp.uint8)[None, :, :]
+        else:
+            codes_ref[0, pl.ds(tt, 1), :, :] = \
+                codes32.astype(jnp.uint8)[None, :, :]
         active = (x < lengths)[:, None]
         band[:, :] = jnp.where(active, m, bcur)
         return 0
@@ -199,22 +214,28 @@ def _kernel(w, seq_ref, gap_ref, ins_ref, ns_ref, own_ref, gy1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bandwidth", "chunk", "interpret",
-                                    "widen", "time_major"))
+                                    "widen", "time_major", "packed"))
 def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
                           *, bandwidth, chunk=256, interpret=False,
-                          widen=1, time_major=False):
+                          widen=1, time_major=False, packed=False):
     """Pallas staircase fill; same outputs as staircase_fill.
 
     time_major=True returns codes in the kernel's native emission
     layout [Lpad, B, W2] (Lpad = chunk-padded length) — a free reshape
     instead of the [B, L, W2] transpose, which at paper shapes
     (B=64, L~33k, W2=1640) costs a ~7 GB HBM round trip per block.
-    entry_and_backtrack(time_major=True) consumes it directly."""
+    entry_and_backtrack(time_major=True) consumes it directly.
+
+    packed=True (requires time_major) emits 4 move codes per byte
+    (2 bits each, step-major within the byte): codes [Lpad//4, B, W2]
+    uint8 — one quarter the HBM write traffic of the dominant output.
+    entry_and_backtrack(packed=True) unpacks on read."""
     w = bandwidth
     t = chunk
     b, c = rows_old.shape
     l = seqs.shape[1]
     assert b % BR == 0, f"block rows must be a multiple of {BR}"
+    assert not packed or (time_major and t % 4 == 0)
     wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
                   widen=widen)
     nc = wd["nchunks"]
@@ -223,9 +244,10 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     def bs(shape, index):
         return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
 
+    tc = t // 4 if packed else t
     grid = (b // BR, nc)
     codes, band_out = pl.pallas_call(
-        functools.partial(_kernel, w),
+        functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
             bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # seq
@@ -243,11 +265,11 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
         out_specs=[
-            bs((1, t, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),
+            bs((1, tc, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),
             bs((BR, w2), lambda bg, ci: (bg, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nc, t, b, w2), jnp.uint8),
+            jax.ShapeDtypeStruct((nc, tc, b, w2), jnp.uint8),
             jax.ShapeDtypeStruct((b, w2), jnp.int32),
         ],
         scratch_shapes=[
@@ -264,7 +286,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
       wd["ok_ins"], wd["lob"], wd["lengths"])
 
     if time_major:
-        codes = codes.reshape(nc * t, b, w2)
+        codes = codes.reshape(nc * tc, b, w2)
     else:
         codes = jnp.transpose(codes.reshape(nc * t, b, w2),
                               (1, 0, 2))[:, :l]
