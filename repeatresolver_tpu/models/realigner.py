@@ -611,6 +611,9 @@ class BatchedRealigner:
                 import jax
 
                 from ..ops import pallas_realign as pr
+                # the kernel streams counts-bounded costs as int16
+                assert self.msa.shape[0] < 32768, \
+                    "pallas kernel caps MSAs at 32767 rows"
                 bpad = -(-bs // pr.BR) * pr.BR
                 if bpad != bs:
                     rows_p = np.concatenate(

@@ -45,12 +45,16 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
     ns, gapcost, inscost, g = _row_costs(counts, rows_old)
     own = rows_old.astype(jnp.int32)
     pad = w2 + 1
-    gapp = jnp.pad(gapcost.astype(jnp.int32), ((0, 0), (0, pad)))
-    insp = jnp.pad(inscost.astype(jnp.int32), ((0, 0), (0, pad)))
-    nsp = jnp.pad(ns.astype(jnp.int32), ((0, 0), (0, pad)))
+    # counts-bounded tensors stream as int16 (row count < 32768 —
+    # asserted by the caller; the reference caps MSAs at 18000 rows,
+    # PW_ReAligner.c:17); flag bits ride the own-symbol byte. Halves
+    # the window streaming traffic vs all-int32.
+    gapp = jnp.pad(gapcost.astype(jnp.int16), ((0, 0), (0, pad)))
+    insp = jnp.pad(inscost.astype(jnp.int16), ((0, 0), (0, pad)))
+    nsp = jnp.pad(ns.astype(jnp.int16), ((0, 0), (0, pad)))
     gp = jnp.pad(g, ((0, 0), (0, pad)), mode="edge")
     ownp = jnp.pad(own, ((0, 0), (0, pad)), constant_values=5)
-    counts4 = jnp.pad(counts.astype(jnp.int32)[:, 0:4],
+    counts4 = jnp.pad(counts.astype(jnp.int16)[:, 0:4],
                       ((0, pad), (0, 0)))
 
     a_chunks = jnp.maximum(0, ways - bh)[:, ::t][:, :nchunks]  # [B, NC]
@@ -70,11 +74,13 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
     prev_a = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), a_chunks[:, :-1]], axis=1)
     dshift = jnp.clip(a_chunks - prev_a, 0, w2 + 1)            # [B, NC]
-    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)                 # [B, NC]
-    jadd = gy1_w - gtop[:, :, None]                            # [B,NC,W2]
+    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)[:, :, None]     # [B,NC,1]
 
-    validc = (ys < ncols).astype(jnp.int32)
-    ok_ins = ((ys > 0) & (ys < ncols - 1)).astype(jnp.int32)
+    validc = ys < ncols
+    ok_ins = (ys > 0) & (ys < ncols - 1)
+    # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int8 stream
+    flags = (own_w | (validc.astype(jnp.int32) << 3)
+             | (ok_ins.astype(jnp.int32) << 4)).astype(jnp.int8)
     seq_c = seqs.reshape(b, nchunks, t).astype(jnp.int32)
     # per-position reference band start in window-lane space (see
     # staircase_realign: candidates outside [way-bh, way-bh+w) must be
@@ -86,11 +92,10 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
         return jnp.swapaxes(x, 0, 1)
 
     return dict(gap=nc_major(gap_w), ins=nc_major(ins_w),
-                ns=nc_major(ns_w), own=nc_major(own_w),
+                ns=nc_major(ns_w), flags=nc_major(flags),
                 gy1=nc_major(gy1_w), c4=nc_major(c4_w),
                 dshift=nc_major(dshift)[:, :, None],
-                jadd=nc_major(jadd), valid=nc_major(validc),
-                ok_ins=nc_major(ok_ins), seq=nc_major(seq_c),
+                gtop=nc_major(gtop), seq=nc_major(seq_c),
                 lob=nc_major(lob),
                 a=a_chunks,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
@@ -109,21 +114,22 @@ def _prefix_min(v, width):
     return v
 
 
-def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, own_ref,
-            gy1_ref, c4_ref, dsh_ref, jadd_ref, valid_ref, okins_ref,
-            lob_ref, len_ref, codes_ref, bandout_ref, band):
+def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
+            gy1_ref, c4_ref, dsh_ref, gtop_ref, lob_ref, len_ref,
+            codes_ref, bandout_ref, band):
     ci = pl.program_id(1)
     t = seq_ref.shape[2]
     w2 = gap_ref.shape[2]
 
-    gap_w = gap_ref[0]
-    ins_w = ins_ref[0]
-    ns_w = ns_ref[0]
-    own_w = own_ref[0]
+    gap_w = gap_ref[0].astype(jnp.int32)
+    ins_w = ins_ref[0].astype(jnp.int32)
+    ns_w = ns_ref[0].astype(jnp.int32)
+    flags = flags_ref[0].astype(jnp.int32)
+    own_w = flags & 7
+    valid = (flags & 8) != 0
+    ok_ins = (flags & 16) != 0
     gy1_w = gy1_ref[0]
-    jadd = jadd_ref[0]
-    valid = valid_ref[0] != 0
-    ok_ins = okins_ref[0] != 0
+    jadd = gy1_w - gtop_ref[0]                          # [BR, W2]
     lengths = len_ref[:, 0]
 
     # ---- chunk-boundary band shift (d >= 0) with jump fill
@@ -163,7 +169,7 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, own_ref,
         lo = jnp.max(jnp.where(lane_t == tt, lob_all, -(1 << 20)),
                      axis=1, keepdims=True)             # [BR, 1]
         inband = (lane_w2 >= lo) & (lane_w2 < lo + w)
-        c4 = c4_ref[0]                                  # [BR, W2, 4]
+        c4 = c4_ref[0].astype(jnp.int32)                # [BR, W2, 4]
         csel = jnp.where(
             s == 0, c4[:, :, 0],
             jnp.where(s == 1, c4[:, :, 1],
@@ -254,13 +260,11 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gap
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ins
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ns
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # own
+            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # flags
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gy1
             bs((1, BR, w2, 4), lambda bg, ci: (ci, bg, 0, 0)),  # c4
             bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # dshift
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # jadd
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # valid
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ok_ins
+            bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # gtop
             bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # lob
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
@@ -281,9 +285,9 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["own"],
-      wd["gy1"], wd["c4"], wd["dshift"], wd["jadd"], wd["valid"],
-      wd["ok_ins"], wd["lob"], wd["lengths"])
+    )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["flags"],
+      wd["gy1"], wd["c4"], wd["dshift"], wd["gtop"], wd["lob"],
+      wd["lengths"])
 
     if time_major:
         codes = codes.reshape(nc * tc, b, w2)
