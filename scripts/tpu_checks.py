@@ -62,6 +62,21 @@ def check_pallas_parity():
     print(f"PASS pallas-parity ({time.perf_counter() - t0:.1f}s, "
           f"backend={jax.default_backend()})")
 
+    # production configuration: time-major + 2-bit packed codes
+    t0 = time.perf_counter()
+    cp, bp, ap = pr.staircase_fill_pallas(
+        counts, msa, seqs, ways, lengths, np.int32(c),
+        bandwidth=256, chunk=128, interpret=False,
+        time_major=True, packed=True)
+    cp, bp, ap = map(np.asarray, (cp, bp, ap))
+    l = seqs.shape[1]
+    x = np.arange(l)
+    unpacked = (cp[x >> 2] >> ((x & 3) * 2)[:, None, None]) & 3
+    assert np.array_equal(np.transpose(unpacked, (1, 0, 2)), cx), \
+        "packed time-major codes != xla codes"
+    assert np.array_equal(bp, bx) and np.array_equal(ap, ax)
+    print(f"PASS pallas-packed-parity ({time.perf_counter() - t0:.1f}s)")
+
 
 def check_fill_parity():
     import jax
