@@ -181,6 +181,16 @@ def membership_counts(gd: GroupData, clique: list[int],
     return gd.groups[idx].sum(axis=0).astype(np.int64)
 
 
+def _cutoff_sizes(m: np.ndarray, s_trunc: int,
+                  mask: np.ndarray | None = None) -> np.ndarray:
+    """sizes[t] = #rows (within mask) with membership m > t, for
+    t in [0, s_trunc) — one bincount + suffix sum instead of s_trunc
+    full-row scans (values of m are bounded by s_trunc)."""
+    mv = m if mask is None else m[mask]
+    cnt = np.bincount(mv, minlength=s_trunc + 1)
+    return (mv.size - np.cumsum(cnt[:s_trunc])).astype(np.float64)
+
+
 def clique_group(gd: GroupData, clique: list[int], c: int) -> np.ndarray:
     """CliqueGroup: rows in more than c of the clique's groups."""
     m = membership_counts(gd, clique, clique_len(clique))
@@ -257,17 +267,22 @@ def korrmax_cutoff(gd: GroupData, clique: list[int], s_trunc: int,
 def dropoff_cutoff(sizes: np.ndarray, signumber: int,
                    c: int) -> tuple[int, float]:
     """Dropoff_Cutoff (:1460-1522) on precomputed cutoff-group sizes
-    (len == Sizes[c_i]). Returns (drop_c, min_drop)."""
-    drop_c = max(1, c)
-    min_drop = 1000000.0
-    for t in range(drop_c, len(sizes) - 1):
-        lim = min(float(signumber) - sizes[t], float(sizes[t]))
-        if lim > 0:
-            drop = (sizes[t - 1] - sizes[t + 1]) / lim
-            if drop < min_drop:
-                min_drop = drop
-                drop_c = t
-    return drop_c, min_drop
+    (len == Sizes[c_i]). Returns (drop_c, min_drop). Vectorized; the
+    reference's strict running < keeps the FIRST minimum = argmin."""
+    t0 = max(1, c)
+    n = len(sizes) - 1
+    if t0 >= n:
+        return t0, 1000000.0
+    sz = np.asarray(sizes, np.float64)[t0:n]
+    lim = np.minimum(float(signumber) - sz, sz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        drop = np.where(lim > 0,
+                        (sizes[t0 - 1:n - 1] - sizes[t0 + 1:n + 1])
+                        / np.where(lim > 0, lim, 1.0), np.inf)
+    i = int(np.argmin(drop))
+    if drop[i] < 1000000.0:
+        return t0 + i, float(drop[i])
+    return t0, 1000000.0
 
 
 @dataclass
@@ -282,32 +297,21 @@ class Refinement:
 
 
 def _cliquer_from_stats(cand, z, seed, maxclique, greedy):
-    """TheBestUpdater simulation given precomputed candidate stats
-    (identical to cliquer()'s tail)."""
-    if cand.size == 0:
-        return [seed] + [-1]
-    best_scores = [0.0] * maxclique
-    clique = [seed] + [0] * (maxclique - 1)
-    for idx, zz in zip(cand, z):
-        if zz <= greedy:
-            continue
-        if best_scores[maxclique - 1] >= zz:
-            continue
-        ii = maxclique - 1
-        while best_scores[ii] < zz and ii > 0:
-            ii -= 1
-        ii += 1
-        best_scores[ii + 1:maxclique] = best_scores[ii:maxclique - 1]
-        clique[ii + 1:maxclique] = clique[ii:maxclique - 1]
-        best_scores[ii] = zz
-        clique[ii] = int(idx)
-    best_scores[0] = 100.0
-    clique = clique + [-1]
-    j = maxclique - 1
-    while best_scores[j] < greedy or clique[j] == clique[j - 1]:
-        clique[j] = -1
-        j -= 1
-    return clique
+    """TheBestUpdater given precomputed candidate stats — identical to
+    cliquer()'s tail. The sequential sorted-insert with strict
+    comparison and arrival order (RepeatResolver.c:1156-1176) is
+    exactly a stable descending sort truncated to maxclique-1 (ties
+    keep arrival = candidate-index order; an arrival tied with the
+    table bottom is dropped, as the sort places it after)."""
+    keep = z > greedy
+    if not keep.any():
+        return [seed] + [-1] * (maxclique if cand.size else 1)
+    ck = cand[keep]
+    zk = z[keep]
+    order = np.argsort(-zk, kind="stable")[:maxclique - 1]
+    chosen = [int(v) for v in ck[order]]
+    return ([seed] + chosen
+            + [-1] * (maxclique - len(chosen)))
 
 
 def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
@@ -343,18 +347,33 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
         # value-identical for every candidate that can enter the clique
         sig_fn = (hg.positive_significance_fast if greedy >= 2.0
                   else hg.positive_significance)
+        # one significance evaluation for the whole seed chunk: the
+        # per-seed candidate arrays concatenate into a single call
+        # (values are per-element, so batching is exact — hypergeom's
+        # series stop is per-element)
+        schnitt_i = schnitt.astype(np.int64)
+        cand_list = []
         for si, seed in enumerate(sc):
-            s_col = schnitt[:, si].astype(np.int64)
-            cand = np.nonzero((s_col > mincov // 4)
-                              & (arange5 != seed))[0]
-            z = sig_fn(
-                s_col[cand], gr1[cand, si].astype(np.int64),
-                gr2[cand // 5, si].astype(np.int64),
-                cov[cand // 5, si].astype(np.int64),
-                gsizes[cand], np.full(cand.shape, gsizes[seed]),
-                cap_base=97.90) if cand.size else np.zeros(0)
+            cand_list.append(np.nonzero(
+                (schnitt_i[:, si] > mincov // 4)
+                & (arange5 != seed))[0])
+        lens = np.array([cd.size for cd in cand_list])
+        if lens.sum():
+            catc = np.concatenate(cand_list)
+            si_rep = np.repeat(np.arange(len(sc)), lens)
+            z_all = sig_fn(
+                schnitt_i[catc, si_rep],
+                gr1[catc, si_rep].astype(np.int64),
+                gr2[catc // 5, si_rep].astype(np.int64),
+                cov[catc // 5, si_rep].astype(np.int64),
+                gsizes[catc], gsizes[sc[si_rep]],
+                cap_base=97.90)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        for si, seed in enumerate(sc):
+            z = (z_all[bounds[si]:bounds[si + 1]]
+                 if lens[si] else np.zeros(0))
             cliques[int(seed)] = _cliquer_from_stats(
-                cand, z, int(seed), maxclique, greedy)
+                cand_list[si], z, int(seed), maxclique, greedy)
 
     for i in range(len(mc)):
         if mc[i] <= cutoff:
@@ -363,8 +382,7 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
         st = sizes_trunc(clique)
         if st > min_clique_size:
             m = membership_counts(gd, clique, st)
-            sizes = np.array([(m > t).sum() for t in range(st)],
-                             np.float64)
+            sizes = _cutoff_sizes(m, st)
             drop_c, min_drop = dropoff_cutoff(sizes, signumber, 0)
             ref.cliques[i] = clique
             ref.sizes[i] = st
@@ -434,13 +452,15 @@ def dropoff_subdivision(ref: Refinement, cutoff: float,
 def relative_dropoff_cutoff(gd: GroupData, clique: list[int],
                             s_trunc: int, u: np.ndarray,
                             k: int, signumber: int,
-                            c: int = 0) -> tuple[int, float]:
+                            c: int = 0,
+                            m: np.ndarray | None = None) -> tuple[int,
+                                                                  float]:
     """Relative_Dropoff_Cutoff (:2859-2920): cutoff groups restricted
-    to cluster k's rows."""
-    m = membership_counts(gd, clique, s_trunc)
-    ink = u == k
-    sizes = np.array([((m > t) & ink).sum() for t in range(s_trunc)],
-                     np.float64)
+    to cluster k's rows. m: precomputed membership_counts (it depends
+    only on the clique, so callers looping over clusters hoist it)."""
+    if m is None:
+        m = membership_counts(gd, clique, s_trunc)
+    sizes = _cutoff_sizes(m, s_trunc, u == k)
     return dropoff_cutoff(sizes, signumber, c)
 
 
@@ -455,21 +475,35 @@ def relative_dropoff_subdivision(gd: GroupData, ref: Refinement,
            if ref.maxcorrs[i] > cutoff
            and ref.sizes.get(i, 0) > sizecutoff]
     number = komprimierung(u)
+    # membership depends only on the clique — hoist across the
+    # (cluster k, var i) double loop; cg is pure, so it is only built
+    # when the split test can actually use it.
+    mtrunc: dict[int, np.ndarray] = {}
+    mfull: dict[int, np.ndarray] = {}
     for k in range(number):
-        inkcount = int((u == k).sum())
-        if inkcount > mingroup * 2:
+        ink = u == k
+        if int(ink.sum()) > mingroup * 2:
             for i in idx:
-                c, min_drop = relative_dropoff_cutoff(
-                    gd, ref.cliques[i], ref.sizes[i], u, k, signumber)
+                m = mtrunc.get(i)
+                if m is None:
+                    m = mtrunc[i] = membership_counts(
+                        gd, ref.cliques[i], ref.sizes[i])
+                c, min_drop = dropoff_cutoff(
+                    _cutoff_sizes(m, ref.sizes[i], ink), signumber, 0)
                 ref.dropoff[i] = min_drop       # global mutation kept
-                cg = clique_group(gd, ref.cliques[i], c)
                 if min_drop < dropoffcutoff:
-                    mask = u == k
-                    drinne = int((cg & mask).sum())
-                    draus = int((~cg & mask).sum())
+                    mf = mfull.get(i)
+                    if mf is None:
+                        mf = mfull[i] = membership_counts(
+                            gd, ref.cliques[i],
+                            clique_len(ref.cliques[i]))
+                    cg = mf > c
+                    drinne = int((cg & ink).sum())
+                    draus = int((~cg & ink).sum())
                     if drinne > mingroup and draus > mingroup:
-                        u[mask & cg] = number + 1 + k * 2
-                        u[mask & ~cg] = number + 2 + k * 2
+                        u[ink & cg] = number + 1 + k * 2
+                        u[ink & ~cg] = number + 2 + k * 2
+                        ink = u == k            # split: now empty
     komprimierung(u)
 
 
@@ -488,22 +522,27 @@ def relative_vars(gd: GroupData, u: np.ndarray, u_no: int,
     sub = gd.groups[np.ix_(sel_idx, np.nonzero(u_group)[0])]
     subf = sub.astype(np.float64)
     schnitt = subf @ subf.T
-    gr = subf.sum(axis=1)
+    gr = subf.sum(axis=1).astype(np.int64)
     cov = int(u_group.sum())
     marked = np.zeros(sel_idx.size, bool)
-    for a in range(sel_idx.size):
-        cands = np.nonzero(sel_idx >= sel_idx[a] + 100)[0]
-        if cands.size == 0:
+    # all (a, b) pairs with sel_idx[b] >= sel_idx[a] + 100, evaluated
+    # in blocks of seed rows (one hypergeometric call per block —
+    # identical per-element values, the series stop is per-element)
+    n = sel_idx.size
+    block = max(1, int(2_000_000) // n)
+    for a0 in range(0, n, block):
+        a1 = min(a0 + block, n)
+        pa, pb = np.nonzero(
+            sel_idx[None, :] >= sel_idx[a0:a1, None] + 100)
+        if pa.size == 0:
             continue
+        pa = pa + a0
         z = hg.cum_hyp_geo_log(
-            schnitt[cands, a].astype(np.int64),
-            gr[cands].astype(np.int64),
-            np.full(cands.shape, int(gr[a])),
-            np.full(cands.shape, cov))
+            schnitt[pb, pa].astype(np.int64), gr[pb], gr[pa],
+            np.full(pa.shape, cov))
         hits = z > cutoff
-        if hits.any():
-            marked[a] = True
-            marked[cands[hits]] = True
+        marked[pa[hits]] = True
+        marked[pb[hits]] = True
     return [int(v) for v in sel_idx[marked]]
 
 

@@ -16,9 +16,25 @@ from scipy.special import gammaln
 
 LOG10 = np.log(10.0)
 
+# gammaln(i + 1) for integer i — every argument in this module is a
+# small non-negative integer (counts bounded by the MSA row count), so
+# three table gathers replace three transcendental evaluations, with
+# bit-identical values (same gammaln, same inputs). Grown on demand.
+_GLN = gammaln(np.arange(4096, dtype=np.float64) + 1.0)
+
+
+def _gln_int(x):
+    """gammaln(x + 1) via table for non-negative integer-valued x."""
+    global _GLN
+    xi = np.asarray(x).astype(np.int64)
+    hi = int(xi.max(initial=0))
+    if hi >= _GLN.size:
+        _GLN = gammaln(np.arange(hi + 1024, dtype=np.float64) + 1.0)
+    return _GLN[xi]
+
 
 def _log_binom(n, k):
-    return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+    return _gln_int(n) - _gln_int(k) - _gln_int(np.asarray(n) - k)
 
 
 def _hyg_logpmf(j, K, n, N):
@@ -32,21 +48,33 @@ def _series_logsum(lo, hi, K, n, N):
     Iterates with the pmf ratio recurrence; all inputs are float64
     arrays of equal shape. Elements with lo > hi yield -inf.
     """
-    lo = lo.astype(np.float64)
-    hi = hi.astype(np.float64)
+    lo = np.asarray(lo, np.float64).copy()
+    hi = np.asarray(hi, np.float64)
+    K = np.asarray(K, np.float64)
+    n = np.asarray(n, np.float64)
+    N = np.asarray(N, np.float64)
     active = lo <= hi
-    l = np.where(active, _hyg_logpmf(np.minimum(lo, hi), K, n, N),
-                 -np.inf)
+    out_m = np.full(lo.shape, -np.inf)
+    out_s = np.zeros(lo.shape)
+    # compact to the active elements: in large batches (callers batch
+    # whole seed chunks / pair blocks) elements converge at wildly
+    # different term counts, and dense iteration would make every
+    # element pay the batch maximum
+    idx = np.nonzero(active.ravel())[0]
+    lo, hi, K, n, N = (np.broadcast_to(a, active.shape).ravel()[idx]
+                       for a in (lo, hi, K, n, N))
+    l = _hyg_logpmf(lo, K, n, N)
     m = l.copy()                     # running max (log reference)
-    s = np.where(active, 1.0, 0.0)   # sum scaled by exp(-m)
+    s = np.ones(idx.shape)           # sum scaled by exp(-m)
     j = lo.copy()
+    stopped = np.zeros(idx.shape, bool)
     it = 0
-    max_iter = int(np.max(hi - lo)) + 1 if active.any() else 0
-    while True:
+    max_iter = int(np.max(hi - lo)) + 1 if idx.size else 0
+    while idx.size and it <= max_iter:
         it += 1
         nxt = j + 1
-        active = active & (nxt <= hi)
-        if not active.any() or it > max_iter:
+        done = (nxt > hi) | stopped
+        if done.all():
             break
         with np.errstate(divide="ignore", invalid="ignore"):
             logr = (np.log(np.maximum(K - j, 0.0))
@@ -54,24 +82,41 @@ def _series_logsum(lo, hi, K, n, N):
                     - np.log(nxt)
                     - np.log(np.maximum(N - K - n + nxt, 1e-300)))
         l2 = l + logr
-        upd = active
-        # rescale accumulate
+        upd = ~done
         bigger = upd & (l2 > m)
         s = np.where(bigger, s * np.exp(m - l2) + 1.0,
                      np.where(upd, s + np.exp(l2 - m), s))
         m = np.where(bigger, l2, m)
         l = np.where(upd, l2, l)
         j = np.where(upd, nxt, j)
-        # early exit: all remaining terms decreasing and negligible
-        if not active.any():
-            break
+        # per-element stop once remaining terms are decreasing and
+        # negligible — results are independent of batch composition.
+        # Stopped elements freeze in place (upd excludes them via
+        # stopped) and are evicted in bulk once a quarter of the batch
+        # has stopped, so the compaction gathers amortize.
         dec = l2 - m < -40.0
         with np.errstate(invalid="ignore"):
             shrinking = logr < -1e-12
-        if np.all(~active | (dec & shrinking)):
-            break
-    with np.errstate(divide="ignore"):
-        return m + np.log(s)
+        done = done | (dec & shrinking) | stopped
+        nd = int(done.sum())
+        if nd == done.size or 4 * nd >= done.size:
+            fin = np.nonzero(done)[0]
+            out_m[idx[fin]] = m[fin]
+            out_s[idx[fin]] = s[fin]
+            live = np.nonzero(~done)[0]
+            idx = idx[live]
+            if live.size == 0:
+                break
+            lo, hi, K, n, N, l, m, s, j = (
+                a[live] for a in (lo, hi, K, n, N, l, m, s, j))
+            stopped = np.zeros(live.size, bool)
+        else:
+            stopped = done
+    if idx.size:
+        out_m[idx] = m
+        out_s[idx] = s
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (out_m + np.log(out_s)).reshape(active.shape)
 
 
 def hyp_q(k, n1, n2, t):
