@@ -558,21 +558,23 @@ class BatchedRealigner:
 
         if (self.mesh is None and self.kernel in ("pallas", "xla")
                 and bs > 8):
-            # bound device HBM: the fill materializes a codes tensor of
-            # lpad*bs*w2 bytes plus a transposed copy (pallas) or the
-            # equivalent staircase buffers (xla). Paper-scale long-piece
-            # buckets (lpad 32k, band 1000, widen 5 -> w2 1640) at
-            # block_rows=64 are ~3.4 GB each — beyond a v5e's free HBM
-            # once windows + backtrack buffers join. Halve the block
-            # until it fits; smaller Jacobi blocks keep the same
-            # convergence contract (block>1 already deviates from the
-            # serial trajectory by design). The bound uses the widen
-            # actually chosen for THIS block (not the ladder cap): the
-            # backtrack while_loop's trip count is independent of block
-            # rows, so every halving avoided halves its per-sweep cost.
+            # bound device HBM by the codes footprint. The Pallas path
+            # emits 2-bit packed time-major codes (lpad*bs*w2/4 bytes,
+            # no transposed copy) plus ~0.2 B/lane of window streams —
+            # budget factor 1/2 with headroom. The XLA staircase/exact
+            # fill still materializes unpacked [B, L, W2] codes plus
+            # scan buffers — factor 2. Halve the block until it fits;
+            # smaller Jacobi blocks keep the same convergence contract
+            # (block>1 already deviates from the serial trajectory by
+            # design). The bound uses the widen actually chosen for
+            # THIS block (not the ladder cap): the backtrack
+            # while_loop's trip count is independent of block rows, so
+            # every halving avoided halves its per-sweep cost.
             w2max = (self.bandwidth + widen * self.chunk
                      if use_stair else self.bandwidth)
-            if 2 * lpad * bs * w2max > self._hbm_budget:
+            factor = 0.5 if (use_stair and self.kernel == "pallas") \
+                else 2.0
+            if factor * lpad * bs * w2max > self._hbm_budget:
                 h = (bs // 2 + 7) // 8 * 8
                 self._realign_block(rows[:h], br)
                 self._realign_block(rows[h:], br)
