@@ -332,16 +332,17 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
     gf = gd.groups.astype(np.float32)
     covf = gd.coverage.astype(np.float32)
     gsizes = gd.sizes
-    arange5 = np.arange(gd.groups.shape[0])
+    # partners must pass schnitt > mincov//4, which groups of size
+    # <= mincov//4 never can — filter the group matrix once (exact;
+    # intersection counts are integers, exact in f32 sums)
+    grows = np.nonzero(gsizes > mincov // 4)[0]
+    gff = gf[grows]                                  # [G, R]
     cliques: dict[int, list[int]] = {}
     for lo in range(0, len(seeds), seed_chunk):
         sc = seeds[lo:lo + seed_chunk]
         gseed = gf[sc]                               # [S, R]
         covseed = covf[sc // 5]                      # [S, R]
-        schnitt = gf @ gseed.T                       # [C5, S]
-        gr1 = gf @ covseed.T                         # [C5, S]
-        gr2 = covf @ gseed.T                         # [C, S]
-        cov = covf @ covseed.T                       # [C, S]
+        schnitt = gff @ gseed.T                      # [G, S]
         # sub-mode pairs have true Z < ~0.5, so with greedy comfortably
         # above that the mode-gated evaluator is decision- and
         # value-identical for every candidate that can enter the clique
@@ -350,22 +351,31 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
         # one significance evaluation for the whole seed chunk: the
         # per-seed candidate arrays concatenate into a single call
         # (values are per-element, so batching is exact — hypergeom's
-        # series stop is per-element)
+        # series stop is per-element); the coverage-side products are
+        # computed only at the unique candidate group rows / columns
         schnitt_i = schnitt.astype(np.int64)
-        cand_list = []
+        candg_list = []
         for si, seed in enumerate(sc):
-            cand_list.append(np.nonzero(
+            candg_list.append(np.nonzero(
                 (schnitt_i[:, si] > mincov // 4)
-                & (arange5 != seed))[0])
+                & (grows != seed))[0])
+        cand_list = [grows[cg] for cg in candg_list]
         lens = np.array([cd.size for cd in cand_list])
         if lens.sum():
-            catc = np.concatenate(cand_list)
+            catg = np.concatenate(candg_list)
+            catc = grows[catg]
             si_rep = np.repeat(np.arange(len(sc)), lens)
+            ug, ug_inv = np.unique(catg, return_inverse=True)
+            gr1u = gff[ug] @ covseed.T               # [Ug, S]
+            uc, uc_inv = np.unique(catc // 5, return_inverse=True)
+            cu = covf[uc]                            # [Uc, R]
+            gr2u = cu @ gseed.T                      # [Uc, S]
+            covu = cu @ covseed.T                    # [Uc, S]
             z_all = sig_fn(
-                schnitt_i[catc, si_rep],
-                gr1[catc, si_rep].astype(np.int64),
-                gr2[catc // 5, si_rep].astype(np.int64),
-                cov[catc // 5, si_rep].astype(np.int64),
+                schnitt_i[catg, si_rep],
+                gr1u[ug_inv, si_rep].astype(np.int64),
+                gr2u[uc_inv, si_rep].astype(np.int64),
+                covu[uc_inv, si_rep].astype(np.int64),
                 gsizes[catc], gsizes[sc[si_rep]],
                 cap_base=97.90)
         bounds = np.concatenate([[0], np.cumsum(lens)])
