@@ -688,7 +688,15 @@ class BatchedRealigner:
                 if len(starts) else 0
             widen = next((v for v in self.WIDEN_LADDER
                           if v * t >= drift), self.WIDEN_LADDER[-1])
-        bpad = -(-bs // n) * n
+        # production TPU mesh path: the Pallas kernel runs inside each
+        # shard; per-shard rows must then be a multiple of pallas BR
+        kern = "xla"
+        quant = n
+        if self.kernel == "pallas" and self.mode == "staircase":
+            from ..ops import pallas_realign as pr
+            kern = "pallas"
+            quant = n * pr.BR
+        bpad = -(-bs // quant) * quant
         if bpad != bs:
             p = bpad - bs
             rows_old = np.concatenate(
@@ -712,13 +720,16 @@ class BatchedRealigner:
         entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
         valid = np.zeros(bpad, np.int32)
         valid[:bs] = 1
-        key = (self.mode, widen)
+        key = (self.mode, widen, kern)
         step = self._mesh_cache.get(key)
         if step is None:
+            import jax
+
             from ..parallel import sharded
             step = sharded.sharded_block_realign(
                 self.mesh, self.bandwidth, mode=self.mode,
-                chunk=self.chunk, widen=widen)
+                chunk=self.chunk, widen=widen, kernel=kern,
+                interpret=jax.default_backend() == "cpu")
             self._mesh_cache[key] = step
         new_rows, iy, ib, inn, delta = step(
             counts_p, rows_p, seqs, ways, lengths, anf_full,

@@ -77,7 +77,8 @@ def sharded_realign_step(mesh: Mesh, ncols: int, bandwidth: int):
 
 
 def sharded_block_realign(mesh: Mesh, bandwidth: int, mode: str = "exact",
-                          chunk: int = 256, widen: int = 1):
+                          chunk: int = 256, widen: int = 1,
+                          kernel: str = "xla", interpret: bool = False):
     """Production mesh step for BatchedRealigner: the block's rows are
     sharded over the mesh 'rows' axis, the column histogram is
     replicated, and the count delta is psum'd over ICI — the collective
@@ -93,24 +94,38 @@ def sharded_block_realign(mesh: Mesh, bandwidth: int, mode: str = "exact",
     valid [B], ncols) -> (new_rows, iy, ib, inn, delta[Cp,6]) with B
     divisible by the mesh size; rows with valid=0 (padding duplicates)
     are excluded from the delta.
+
+    kernel="pallas" (staircase only) runs the production TPU kernel
+    inside each shard — packed time-major codes consumed directly by
+    the backtrack; per-shard rows must be a multiple of pallas BR.
     """
     if mode == "staircase":
         from ..ops import staircase_realign as sr
+        if kernel == "pallas":
+            from ..ops import pallas_realign as pr
     w_codes = bandwidth + (widen * chunk if mode == "staircase" else 0)
+    tmp = kernel == "pallas" and mode == "staircase"
 
     def local(counts, rows_old, seqs, ways, lengths, anf_full,
               entry_bound, valid, ncols):
         if mode == "staircase":
-            codes, fband, fanf = sr.staircase_fill(
-                counts, rows_old, seqs, ways, lengths, ncols,
-                bandwidth=bandwidth, chunk=chunk, widen=widen)
+            if tmp:
+                codes, fband, fanf = pr.staircase_fill_pallas(
+                    counts, rows_old, seqs, ways, lengths, ncols,
+                    bandwidth=bandwidth, chunk=chunk, widen=widen,
+                    time_major=True, packed=True, interpret=interpret)
+            else:
+                codes, fband, fanf = sr.staircase_fill(
+                    counts, rows_old, seqs, ways, lengths, ncols,
+                    bandwidth=bandwidth, chunk=chunk, widen=widen)
         else:
             codes, fband, fanf = br.banded_fill(
                 counts, rows_old, seqs, ways, lengths, ncols,
                 bandwidth=bandwidth)
         new_rows, best, iy, ib, inn = br.entry_and_backtrack(
             codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
-            ncols, cpad=rows_old.shape[1], bandwidth=w_codes)
+            ncols, cpad=rows_old.shape[1], bandwidth=w_codes,
+            time_major=tmp, packed=tmp)
         sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
         rowmask = (valid > 0)[:, None, None]
         colmask = (jnp.arange(rows_old.shape[1]) < ncols)[None, :, None]

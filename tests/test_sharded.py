@@ -81,6 +81,32 @@ def test_mesh_realign_trajectory_matches_single_device(mode):
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs the 8-device virtual mesh")
+def test_mesh_realign_pallas_kernel_matches_xla():
+    """The production TPU mesh path (Pallas staircase inside each
+    shard, packed time-major codes) must reproduce the XLA mesh
+    trajectory bit-for-bit (interpret mode on the CPU mesh)."""
+    from test_batched_realigner import make_msa
+
+    from repeatresolver_tpu.config import RealignerConfig
+    from repeatresolver_tpu.models import realigner
+
+    msa = make_msa(11, rows=18, tlen=280)
+    cfg = RealignerConfig(bandwidth=96, block_rows=16)
+    mesh = sharded.make_mesh(8)
+    log1: list = []
+    ref = realigner.realign_batched(msa.copy(), cfg, score_log=log1,
+                                    mode="staircase", kernel="xla",
+                                    mesh=mesh)
+    log2: list = []
+    out = realigner.realign_batched(msa.copy(), cfg, score_log=log2,
+                                    mode="staircase", kernel="pallas",
+                                    mesh=mesh)
+    assert log1 == log2
+    np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device virtual mesh")
 def test_mesh_realign_uneven_block_padding():
     """Blocks not divisible by the mesh size are padded with masked
     duplicate rows; results must still match single-device exactly."""
