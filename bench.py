@@ -21,14 +21,16 @@ Roofline (documented so the emulator discount is a number, not a vibe):
 the production TPU kernel (ops/pallas_realign.py) runs the staircase
 DP on the VPU. Per inner step it updates a W2 = W + widen*T lane window
 with ~40 int32 ops per lane (cost select 6, subcost 3, diag/ins mins 6,
-log-step prefix-min over W2 ~ 17, code emission + masks ~8), i.e.
-~40 * W2/W ~ 60 VPU ops per *counted* band cell (the metric counts
-B*L*W). HBM traffic is the uint8 move-code write, ~W2/W ~ 1.5 B/cell.
-v5e public specs (jax-ml.github.io/scaling-book): VPU 8x128 lanes x
-4 ALUs x ~0.94 GHz = 3.85e12 int32 op/s, HBM 819 GB/s =>
-  VPU bound  : 3.85e12 / 60  ~ 6.4e10 cells/s/chip
-  HBM bound  : 8.19e11 / 1.5 ~ 5.5e11 cells/s/chip
-  speed of light = min = ~6.4e10 cells/s/chip  (~770x reference C).
+log-step prefix-min over W2 ~ 17, code emission + packed RMW ~10),
+i.e. ~42 * W2/W ~ 63 VPU ops per *counted* band cell (the metric
+counts B*L*W). HBM traffic: the move codes leave the kernel 2-bit
+packed in time-major layout (no transpose) = W2/W/4 ~ 0.4 B/cell, plus
+~0.15 B/cell of window streams (19 B/lane amortized over T=128 steps)
+=> ~0.6 B/cell. v5e public specs (jax-ml.github.io/scaling-book): VPU
+8x128 lanes x 4 ALUs x ~0.94 GHz = 3.85e12 int32 op/s, HBM 819 GB/s =>
+  VPU bound  : 3.85e12 / 63  ~ 6.1e10 cells/s/chip
+  HBM bound  : 8.19e11 / 0.6 ~ 1.4e12 cells/s/chip
+  speed of light = min = ~6.1e10 cells/s/chip  (~730x reference C).
 
 Measurement notes for this environment: the TPU sits behind a network
 relay with a ~60s cold handshake and unreliable block_until_ready, so
@@ -53,8 +55,8 @@ V5E_HBM_BPS = 819e9
 V5E_BF16_FLOPS = 1.97e14
 
 # kernel cost model (see module docstring)
-OPS_PER_CELL = 60.0
-BYTES_PER_CELL = 1.5
+OPS_PER_CELL = 63.0
+BYTES_PER_CELL = 0.6
 
 
 def _inputs(b=64, l=2048, w=512, c=4096):
