@@ -876,6 +876,18 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     t0 = time.perf_counter()
     cells = 0
 
+    import threading
+    writer: list = [None]         # in-flight best-MSA write thread
+
+    def _write_best(snapshot, pair, rnd):
+        if out_path is not None:
+            rio.write_msa(out_path, snapshot, upper=True)
+        if checkpoint_path is not None:
+            ckpt.RealignCheckpoint(
+                msa=snapshot, round=rnd, best_mille=pair[0],
+                best_uno=pair[1],
+                bandwidth=cfg.bandwidth).save(checkpoint_path)
+
     def check_improved(write=True):
         nonlocal best, best_msa
         pair = eng.overall_pair()
@@ -890,13 +902,18 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         if pair < best:
             best = pair
             best_msa = eng.msa.copy()
-            if write and out_path is not None:
-                rio.write_msa(out_path, best_msa, upper=True)
-            if write and checkpoint_path is not None:
-                ckpt.RealignCheckpoint(
-                    msa=eng.msa, round=rounds, best_mille=best[0],
-                    best_uno=best[1],
-                    bandwidth=cfg.bandwidth).save(checkpoint_path)
+            if write and (out_path is not None
+                          or checkpoint_path is not None):
+                # overlap the multi-GB best-MSA write with the next
+                # sweep (numpy encode + file I/O both release the GIL);
+                # rounds run minutes, writes seconds, so at most one is
+                # ever in flight
+                if writer[0] is not None:
+                    writer[0].join()
+                writer[0] = threading.Thread(
+                    target=_write_best, args=(best_msa, best, rounds),
+                    daemon=True)
+                writer[0].start()
             return True
         return False
 
@@ -918,6 +935,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             break
     eng.ent_al_gapper()
     check_improved()
+    if writer[0] is not None:     # files must be complete on return
+        writer[0].join()
     if stats is not None:
         dt = time.perf_counter() - t0
         stats.update(rounds=rounds, wall_s=dt, dp_cells=cells,

@@ -218,9 +218,21 @@ def write_msa(path: str | os.PathLike, msa: np.ndarray,
     """MSAreal style: uppercase ACGT- and space (PW_ReAligner.c:1556-1598).
     Pass upper=False for the InitialAligner-style lowercase MSA."""
     table = CODE2BASE_UPPER if upper else CODE2BASE
+    msa = np.asarray(msa, dtype=np.int8)
+    r, c = msa.shape
+    # chunked vectorized encode: one [chunk, c+1] staging buffer reused
+    # across chunks (a per-row loop pays 13k+ small writes at paper
+    # scale; a full-MSA temporary is a multi-GB first-touch —
+    # utils/hostmem.py)
+    step = max(1, (1 << 24) // max(c + 1, 1))
+    buf = np.empty((step, c + 1), np.uint8)
+    buf[:, c] = ord("\n")
     with open(path, "wb") as f:
-        for row in np.asarray(msa, dtype=np.int8):
-            f.write(table[row].tobytes() + b"\n")
+        for k0 in range(0, r, step):
+            m = msa[k0:k0 + step]
+            n = len(m)
+            np.take(table, m, out=buf[:n, :c])
+            f.write(buf[:n].tobytes())
 
 
 # ----------------------------------------------------- simple int files
