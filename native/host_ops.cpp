@@ -236,7 +236,7 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
 
         std::vector<uint8_t> codes((size_t)(len * w));
         std::vector<int32_t> prev(w + 2, 0), cur(w + 2, 0);
-        std::vector<int32_t> diagv(w), av(w);
+        std::vector<int32_t> diagv(w), av(w), hv(w), Gv(w);
         int64_t prev_anf = 0;
 
         for (int64_t x = 0; x < len; x++) {
@@ -299,20 +299,46 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
                     av[t] = a;
                 }
             }
-            // pass 2: left relaxation + codes (cheap sequential scan)
-            int32_t left = BIG32;
+            // pass 2: left relaxation m[t] = min(av[t], m[t-1]+gap[t])
+            // recast as a prefix-min in gap-prefix space: with
+            // G[t] = sum(gap[anf..anf+t]) and b[t] = av[t] - G[t],
+            // m[t] = h[t] + G[t] where h[t] = min(h[t-1], b[t]).
+            // Bit-identical values and code decisions (m == lv  <=>
+            // h[t] == h[t-1]); the serial dependence shrinks from the
+            // full relax+select chain to one min, and the code/store
+            // loop vectorizes.
             int is_last = (x == len - 1);
             const int32_t* gpr = gap.data() + anf;
-            for (int64_t t = 0; t < nw; t++) {
-                int32_t lv = left + gpr[t];
-                int32_t m = av[t] < lv ? av[t] : lv;
+            {
+                int32_t G = 0, carry = BIG32;
+                for (int64_t t = 0; t < nw; t++) {
+                    G += gpr[t];
+                    Gv[t] = G;
+                    int32_t bb = av[t] - G;
+                    carry = carry < bb ? carry : bb;
+                    hv[t] = carry;
+                }
+            }
+            if (nw > 0) {   // t = 0: left = BIG32, lv = BIG32 + G[0]
+                int32_t m = hv[0] + Gv[0];
+                int32_t lv = BIG32 + Gv[0];
                 uint8_t code;
-                if (m == lv || (is_last && m == left)) code = 0;
+                if (m == lv || (is_last && m == BIG32)) code = 0;
+                else if (m == diagv[0]) code = 1;
+                else code = 2;
+                crow[0] = code;
+                cur[0] = m;
+            }
+            for (int64_t t = 1; t < nw; t++) {
+                int32_t m = hv[t] + Gv[t];
+                int32_t lv = hv[t - 1] + Gv[t];       // m[t-1] + gap[t]
+                int32_t lf = hv[t - 1] + Gv[t - 1];   // m[t-1]
+                uint8_t code;
+                if (m == lv || (is_last && m == lf)) code = 0;
                 else if (m == diagv[t]) code = 1;
                 else code = 2;
                 crow[t] = code;
                 cur[t] = m;
-                left = m;
             }
             for (int64_t j = nw; j < w; j++) cur[j] = BIG32;
             std::swap(prev, cur);
