@@ -204,32 +204,46 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
 
         // per-row cost arrays (own contribution removed); int32 DP
         // values (max path cost ~6e8 < 2^30 = BIG32) with contiguous
-        // per-symbol substitution costs for vectorization
+        // per-symbol substitution costs for vectorization. Built only
+        // over the union of this row's band windows [lo, hi) — the
+        // band path spans ~1/3 of a paper-scale MSA's width; shifted
+        // raw pointers keep absolute-y indexing below.
         const int32_t BIG32 = (int32_t)1 << 30;
-        std::vector<int32_t> gap(c), ins(c), gp(c + 1);
-        std::vector<int32_t> sub4((size_t)c * 4);  // planar [sym][C]
-        gp[0] = 0;
-        for (int64_t y = 0; y < c; y++) {
+        int64_t lo = way[0] - bh; if (lo < 0) lo = 0;
+        int64_t hi = way[len - 1] - bh; if (hi < 0) hi = 0;
+        hi += w; if (hi > c) hi = c;
+        const int64_t nwin = hi - lo;
+        std::vector<int32_t> gapb(nwin), insb(nwin), gpb(nwin + 1);
+        std::vector<int32_t> sub4b((size_t)nwin * 4);  // planar [sym]
+        int32_t* gap = gapb.data() - lo;
+        int32_t* ins = insb.data() - lo;
+        int32_t* gp = gpb.data() - lo;     // gp[lo] = 0 base
+        gp[lo] = 0;
+        for (int64_t y = lo; y < hi; y++) {
             const int32_t* cy = counts + y * 6;
             int32_t nsy = cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
                           - (own[y] < 5 ? 1 : 0);
             gap[y] = nsy - (cy[4] - (own[y] == 4 ? 1 : 0));
             gp[y + 1] = gp[y] + gap[y];
             for (int sym = 0; sym < 4; sym++)
-                sub4[(size_t)sym * c + y] =
+                sub4b[(size_t)sym * nwin + (y - lo)] =
                     nsy - (cy[sym] - (own[y] == sym ? 1 : 0));
-            ins[y] = (y == 0) ? nsy : ins[y];  // placeholder
         }
         {
-            const int32_t* cy0 = counts;
-            int32_t ns_prev = cy0[0] + cy0[1] + cy0[2] + cy0[3]
-                              + cy0[4] - (own[0] < 5 ? 1 : 0);
-            ins[0] = ns_prev;
-            for (int64_t y = 1; y < c; y++) {
+            int32_t ns_prev;
+            if (lo == 0) {
+                ns_prev = BIG32;  // unused: ins[0] = ns[0]
+            } else {
+                const int32_t* cp = counts + (lo - 1) * 6;
+                ns_prev = cp[0] + cp[1] + cp[2] + cp[3] + cp[4]
+                          - (own[lo - 1] < 5 ? 1 : 0);
+            }
+            for (int64_t y = lo; y < hi; y++) {
                 const int32_t* cy = counts + y * 6;
                 int32_t nsy = cy[0] + cy[1] + cy[2] + cy[3] + cy[4]
                               - (own[y] < 5 ? 1 : 0);
-                ins[y] = nsy > ns_prev ? nsy : ns_prev;
+                ins[y] = (y == 0) ? nsy
+                         : (nsy > ns_prev ? nsy : ns_prev);
                 ns_prev = nsy;
             }
         }
@@ -251,10 +265,11 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
             // (no boundary branches) is a separate tight int32 loop
             // the compiler can vectorize; boundaries handled outside.
             int64_t d = anf - prev_anf;  // >= 0
+            const int32_t* subs = sub4b.data() + (size_t)s * nwin - lo;
             if (x == 0) {
                 for (int64_t t = 0; t < nw; t++) {
                     int64_t y = anf + t;
-                    int32_t sub = sub4[(size_t)s * c + y];
+                    int32_t sub = subs[y];
                     int32_t a = sub;
                     if (y > 0 && y < c - 1 && ins[y] < a) a = ins[y];
                     diagv[t] = sub;
@@ -269,8 +284,8 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
                 if (anf + t_hi >= c - 1) t_hi = (c - 1) - anf;
                 if (t_hi < t_lo) t_hi = t_lo;
                 const int32_t* pr = prev.data() + d;
-                const int32_t* sb = sub4.data() + (size_t)s * c + anf;
-                const int32_t* inp = ins.data() + anf;
+                const int32_t* sb = subs + anf;
+                const int32_t* inp = ins + anf;
                 for (int64_t t = t_lo; t < t_hi; t++) {
                     int32_t diag = pr[t - 1] + sb[t];
                     int32_t iv = pr[t] + inp[t];
@@ -283,7 +298,7 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
                     int64_t y = anf + t;
                     int64_t jm = t + d - 1;
                     int64_t j0 = t + d;
-                    int32_t sub = sub4[(size_t)s * c + y];
+                    int32_t sub = subs[y];
                     int32_t dprev = (jm < 0) ? BIG32
                         : (jm < w ? prev[jm]
                            : prev[w - 1] + (gp[y] - gp[ptop + 1]));
@@ -308,7 +323,7 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
             // full relax+select chain to one min, and the code/store
             // loop vectorizes.
             int is_last = (x == len - 1);
-            const int32_t* gpr = gap.data() + anf;
+            const int32_t* gpr = gap + anf;
             {
                 int32_t G = 0, carry = BIG32;
                 for (int64_t t = 0; t < nw; t++) {
