@@ -410,6 +410,34 @@ void realign_block_native(const int32_t* counts, const int8_t* rows_old,
     }
 }
 
+// Column splice: np.insert(arr, positions, cols, axis=1) for ascending
+// pre-insertion positions (ties keep order). One row-major merge pass:
+// numpy's per-segment slice assignment walks all R rows per segment
+// (one cache line touched per 8 useful bytes at paper-scale insert
+// batches); this streams each row once. cols_t is [R, N] (inserted
+// values pre-transposed so the per-row walk is sequential).
+void splice_cols_native(const int8_t* arr, int64_t r, int64_t c,
+                        const int64_t* pos, const int8_t* cols_t,
+                        int64_t n, int8_t* out)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t k = 0; k < r; k++) {
+        const int8_t* src = arr + k * c;
+        const int8_t* cv = cols_t + k * n;
+        int8_t* dst = out + k * (c + n);
+        int64_t prev = 0;
+        for (int64_t i = 0; i < n; i++) {
+            int64_t p = pos[i];
+            memcpy(dst + prev + i, src + prev, (size_t)(p - prev));
+            dst[p + i] = cv[i];
+            prev = p;
+        }
+        memcpy(dst + prev + n, src + prev, (size_t)(c - prev));
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

@@ -46,6 +46,9 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, i64]
+        lib.splice_cols_native.argtypes = [
+            ctypes.c_void_p, i64, i64, ctypes.c_void_p,
+            ctypes.c_void_p, i64, ctypes.c_void_p]
         lib.occurrence_rows_native.argtypes = [
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p,
             i64, i64, ctypes.c_void_p]
@@ -149,6 +152,25 @@ def realign_block(counts, rows_old, seqs, ways, lengths, bandwidth,
                              bandwidth, _ptr(new_rows), _ptr(best),
                              _ptr(iy), _ptr(ib), _ptr(inn), ins_cap)
     return new_rows, best, iy, ib, inn
+
+
+def splice_cols(arr, positions, cols):
+    """np.insert(arr, positions, cols, axis=1) for int8 arrays with
+    ascending pre-insertion positions, as one row-major native merge
+    pass. cols: [N, R]. Returns the new array or None if the lib is
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "splice_cols_native"):
+        return None
+    arr = np.ascontiguousarray(arr, np.int8)
+    pos = np.ascontiguousarray(positions, np.int64)
+    cols_t = np.ascontiguousarray(np.asarray(cols, np.int8).T)
+    r, c = arr.shape
+    n = len(pos)
+    out = np.empty((r, c + n), np.int8)
+    lib.splice_cols_native(_ptr(arr), r, c, _ptr(pos), _ptr(cols_t),
+                           n, _ptr(out))
+    return out
 
 
 def initial_align(template, seqs_padded, lengths):

@@ -215,3 +215,16 @@ def test_splice_matches_np_insert():
     # empty insert list
     np.testing.assert_array_equal(
         realigner._splice_cols(arr, [], np.zeros((0, 7), np.int8)), arr)
+
+
+def test_splice_cols_native_path():
+    """Batches >64 route through the native one-pass row merge
+    (native/host_ops.cpp splice_cols_native); must still be exactly
+    np.insert, including ties and boundary positions."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 6, (13, 250)).astype(np.int8)
+    positions = np.sort(rng.integers(0, 251, 100)).astype(np.int64)
+    cols = rng.integers(0, 6, (100, 13)).astype(np.int8)
+    got = realigner._splice_cols(arr, positions, cols)
+    want = np.insert(arr, positions, cols.T, axis=1)
+    np.testing.assert_array_equal(got, want)
