@@ -23,8 +23,19 @@ pytestmark = [
 def test_device_checks_on_silicon():
     env = dict(os.environ)
     # keep the preset PYTHONPATH (axon plugin site) and add the repo
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("JAX_PLATFORMS", None)  # let the plugin pick the chip
+    pp = [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                   if p]
+    # The tunneled-chip plugin registers via a sitecustomize on the
+    # preset PYTHONPATH; re-add its dir in case the pytest invocation
+    # replaced PYTHONPATH wholesale (CLAUDE.md).
+    axon_site = os.path.expanduser("~/.axon_site")
+    if os.path.isdir(axon_site) and axon_site not in pp:
+        pp.append(axon_site)
+    env["PYTHONPATH"] = os.pathsep.join(pp)
+    # Keep the session's JAX_PLATFORMS (e.g. "axon"): unsetting it makes
+    # jax probe every installed plugin, and the raw libtpu plugin fails
+    # its host-metadata handshake in this tunneled environment, dropping
+    # the subprocess to CPU.
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "tpu_checks.py")],
