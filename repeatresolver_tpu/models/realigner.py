@@ -841,7 +841,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     mode: str = "auto",
                     kernel: str = "auto",
                     score_log_path: str | None = None,
-                    mesh=None) -> np.ndarray:
+                    mesh=None,
+                    anneal: bool = True) -> np.ndarray:
     """Main loop with the device engine; same convergence contract as
     realign(). With checkpoint_path, state is saved atomically per
     improving round (the reference's best-MSA-per-round semantics,
@@ -850,7 +851,17 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     mesh: a jax.sharding.Mesh with a 'rows' axis — each block's rows
     are sharded over it with the count-delta merged by psum
     (parallel/sharded.sharded_block_realign); trajectory is bit-equal
-    to the single-device XLA path."""
+    to the single-device XLA path.
+
+    anneal: block-Jacobi sweeps (block_rows>1) can stall in a worse
+    local optimum than the reference's strictly serial Gauss-Seidel —
+    rows of one block don't see each other's updates, so near
+    convergence their rewrites oscillate. With anneal=True the first
+    non-improving round at block B restores the best MSA and continues
+    at B//4, terminating only when a block-1 (exact reference
+    semantics, PW_ReAligner.c:1741-1742) round fails to improve. The
+    bulk of rounds run at full batch width; the tail polish recovers
+    the serial-quality score. block_rows=1 is unaffected."""
     import time
 
     from ..utils import checkpoint as ckpt
@@ -941,6 +952,18 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         if validate:
             validate_counts(eng.msa, eng.counts)
         if not check_improved():
+            if anneal and eng.block_rows > 1:
+                nb = max(1, eng.block_rows // 4)
+                if best_msa is not None and eng.overall_pair() > best:
+                    # the stalled Jacobi round left the MSA worse than
+                    # the checkpointed best — polish from the best
+                    eng = BatchedRealigner(
+                        best_msa.copy(), bandwidth=cfg.bandwidth,
+                        block_rows=nb, mode=eng.mode,
+                        kernel=eng.kernel, mesh=mesh)
+                else:
+                    eng.block_rows = nb
+                continue
             break
     eng.ent_al_gapper()
     check_improved()

@@ -228,3 +228,25 @@ def test_splice_cols_native_path():
     got = realigner._splice_cols(arr, positions, cols)
     want = np.insert(arr, positions, cols.T, axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_anneal_polishes_to_serial_quality():
+    """Block-Jacobi with anneal=True must finish at least as good as
+    the serial reference engine: on stall the block shrinks (B -> B//4
+    -> ... -> 1) from the best MSA, and the final block-1 rounds are
+    exact Gauss-Seidel."""
+    msa = make_msa(5, rows=16, tlen=260)
+    cfg = RealignerConfig(bandwidth=96)
+    log_serial: list = []
+    realigner.realign(msa.copy(), cfg, score_log=log_serial)
+    log_plain: list = []
+    realigner.realign_batched(msa.copy(), cfg, score_log=log_plain,
+                              block_rows=8, anneal=False)
+    log_ann: list = []
+    out = realigner.realign_batched(msa.copy(), cfg, score_log=log_ann,
+                                    block_rows=8, anneal=True)
+    assert min(log_ann) <= min(log_plain)
+    assert min(log_ann) <= min(log_serial)
+    # returned MSA is the best one
+    eng = realigner.RealignEngine(out, bandwidth=96)
+    assert realigner.overall_score_pair(eng.counts) == min(log_ann)
