@@ -263,10 +263,14 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.hypergeom_device import positive_significance_f32
+    from ..ops.hypergeom_device import (log_factorial_table,
+                                        positive_significance_f32)
 
     msa = np.asarray(msa)
     r, c = msa.shape
+    # all hypergeometric args are counts <= r: gather log-factorials
+    # from a host-f64 double-float table instead of device gammaln
+    lf_hi, lf_lo = (jnp.asarray(a) for a in log_factorial_table(r))
     signumber = r
     mincov = cfg.mincov
     gap = cfg.min_col_gap
@@ -319,7 +323,8 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
         g2 = jnp.repeat(gr2, 5, axis=0)            # [t5, t5]
         cv = jnp.repeat(jnp.repeat(shared, 5, axis=0), 5, axis=1)
         z = positive_significance_f32(
-            schnitt, g1, g2, cv, szi[:, None], szj[None, :])
+            schnitt, g1, g2, cv, szi[:, None], szj[None, :],
+            lf_hi, lf_lo)
         z = jnp.where(pair_ok, z, 0.0)
 
         zi = z.max(axis=1)
