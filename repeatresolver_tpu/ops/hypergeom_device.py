@@ -101,18 +101,38 @@ def positive_significance_f32(schnitt, gr1, gr2, cov, size1, size2,
     else:
         logp0 = (_log_binom(k, s) + _log_binom(nn - k, n - s)
                  - _log_binom(nn, n))
-    # pmf ratio r_j = p(s+j+1)/p(s+j); terms t_j = prod_{i<=j} r_i
-    j = jnp.arange(terms, dtype=jnp.float32)
-    sj = s[..., None] + j
-    num = (k[..., None] - sj) * (n[..., None] - sj)
-    den = (sj + 1.0) * (nn[..., None] - k[..., None]
-                        - n[..., None] + sj + 1.0)
-    ratio = jnp.where((num > 0) & (den > 0), num / jnp.maximum(den, 1.0),
-                      0.0)
-    alive = jnp.cumprod((ratio > 0).astype(jnp.float32), axis=-1)
-    logr = jnp.log(jnp.where(ratio > 0, ratio, 1.0))
-    csum = jnp.cumsum(logr, axis=-1)
-    tail = 1.0 + jnp.sum(jnp.exp(csum) * alive, axis=-1)
+    # pmf ratio r_j = p(s+j+1)/p(s+j); tail = 1 + sum_j prod_{i<=j} r_i.
+    # Running product with element-shaped carries: a [..., terms]
+    # materialization (cumsum/cumprod lanes) costs terms x the pair
+    # grid in HBM — at tile 256 that was ~100 GB of intermediate
+    # traffic per tile pair sweep. r_j = 0 is absorbing (matches the
+    # reference's support bound), and the direct product is more
+    # accurate than exp(cumsum(log)).
+    shp = jnp.broadcast_shapes(s.shape, k.shape, n.shape, nn.shape)
+    sb = jnp.broadcast_to(s, shp)
+    kb = jnp.broadcast_to(k, shp)
+    nb = jnp.broadcast_to(n, shp)
+    nnb = jnp.broadcast_to(nn, shp)
+
+    def cond(st):
+        jj, run, _ = st
+        # tail >= 1, so run below 1e-8 bounds the log(tail) error at
+        # ~1e-8 x remaining-terms; typical decay finishes in 10-20 j.
+        return (jj < terms) & (run.max() > 1e-8)
+
+    def body(st):
+        jj, run, tail = st
+        sjv = sb + jj.astype(jnp.float32)
+        num = (kb - sjv) * (nb - sjv)
+        den = (sjv + 1.0) * (nnb - kb - nb + sjv + 1.0)
+        ratio = jnp.where((num > 0) & (den > 0),
+                          num / jnp.maximum(den, 1.0), 0.0)
+        run = run * ratio
+        return jj + 1, run, tail + run
+
+    _, _, tail = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.ones(shp, jnp.float32),
+                     jnp.ones(shp, jnp.float32)))
 
     z = -(logp0 + jnp.log(tail)) * LOG10E
     z = jnp.where(jnp.isfinite(z), jnp.minimum(z, 99.0), 99.0)
