@@ -269,8 +269,13 @@ def compute_maxcorrs_device(msa: np.ndarray, cfg: MaxCorrConfig,
     msa = np.asarray(msa)
     r, c = msa.shape
     # all hypergeometric args are counts <= r: gather log-factorials
-    # from a host-f64 double-float table instead of device gammaln
-    lf_hi, lf_lo = (jnp.asarray(a) for a in log_factorial_table(r))
+    # from a host-f64 double-float table instead of device gammaln.
+    # The table MUST cover max(cov) (= r here by construction) — the
+    # device gather clips out-of-range indices silently, which is only
+    # safe for the negative indices of irrelevant pairs.
+    lf_np_hi, lf_np_lo = log_factorial_table(r)
+    assert lf_np_hi.shape[0] - 1 >= r, "log-factorial table undersized"
+    lf_hi, lf_lo = jnp.asarray(lf_np_hi), jnp.asarray(lf_np_lo)
     signumber = r
     mincov = cfg.mincov
     gap = cfg.min_col_gap

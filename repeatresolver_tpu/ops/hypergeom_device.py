@@ -59,6 +59,11 @@ def _log_binom(n, k):
 def _logp0_table(lf_hi, lf_lo, s, k, n, nn):
     """log pmf at s for HG(N=nn, K=k, n=n) via table gathers:
     sum of 9 signed F[.] terms in compensated double-float."""
+    # Indices are clipped into [0, nmax]: negative indices occur only
+    # for irrelevant (masked) pairs and clip harmlessly to 0; indices
+    # ABOVE nmax would silently corrupt Z — callers must size the table
+    # with nmax >= max(cov) (compute_maxcorrs_device asserts this on
+    # host before tracing).
     plus = (k, nn - k, n, nn - n)
     minus = (s, k - s, n - s, nn - k - n + s, nn)
     acc_hi = jnp.zeros(s.shape, jnp.float32)
@@ -130,9 +135,18 @@ def positive_significance_f32(schnitt, gr1, gr2, cov, size1, size2,
         run = run * ratio
         return jj + 1, run, tail + run
 
+    # Start run at 0 for non-relevant pairs: below the mode the pmf
+    # ratio exceeds 1, so their running product grows geometrically,
+    # overflows f32 to inf within ~10 iterations at tall-MSA counts,
+    # and once the support bound zeroes the ratio inf*0 = NaN — which
+    # poisons run.max() in cond (NaN > eps is False) and truncates the
+    # tail sum for the WHOLE batch. For relevant pairs s > mode implies
+    # ratio < 1, so run only decays; their Z is the only one consumed
+    # (non-relevant Z is masked to 0 below).
+    run0 = jnp.where(jnp.broadcast_to(relevant, shp), 1.0, 0.0
+                     ).astype(jnp.float32)
     _, _, tail = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.ones(shp, jnp.float32),
-                     jnp.ones(shp, jnp.float32)))
+        cond, body, (jnp.int32(0), run0, jnp.ones(shp, jnp.float32)))
 
     z = -(logp0 + jnp.log(tail)) * LOG10E
     z = jnp.where(jnp.isfinite(z), jnp.minimum(z, 99.0), 99.0)

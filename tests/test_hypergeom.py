@@ -86,6 +86,58 @@ def test_caps_and_gates():
     assert z[0] == 0.0 and z[1] == 0.0 and z[2] > 0.0
 
 
+def test_device_tail_immune_to_below_mode_overflow():
+    """Regression (ADVICE r2): a below-mode pair's running pmf product
+    grows geometrically, overflows f32 to inf, and — once the support
+    bound zeroes its ratio — turns into NaN, which used to poison the
+    while_loop's run.max() early exit and truncate the tail sum of
+    every OTHER element in the batch.  Batch a tall below-mode pair
+    with a slow-decaying relevant pair and check the relevant Z both
+    matches the exact host value and is batch-invariant."""
+    import jax.numpy as jnp
+
+    from repeatresolver_tpu.ops.hypergeom_device import (
+        log_factorial_table, positive_significance_f32)
+
+    # slow-decaying relevant pair: s just above the mode at high counts
+    # (ratio close to 1 -> many tail terms before the 1e-8 early exit)
+    rel = dict(s=1060, k=2000, n=2000, N=3800, mode=(2001 * 2001) / 3802.0)
+    assert rel["s"] > rel["mode"]
+    # below-mode pair whose ratios overflow the f32 running product to
+    # inf by ~j=12 and whose support bound zeroes the ratio at j=15
+    # (inf * 0 = NaN in the old code, poisoning the whole batch's
+    # early-exit condition)
+    sub = dict(s=1, k=16, n=3500, N=3516)
+    assert sub["s"] < (sub["k"] + 1) * (sub["n"] + 1) / (sub["N"] + 2)
+
+    lf_hi, lf_lo = (jnp.asarray(a) for a in log_factorial_table(4096))
+
+    def z_of(ss, kk, nn, NN):
+        return np.asarray(positive_significance_f32(
+            jnp.asarray(ss, jnp.int32), jnp.asarray(nn, jnp.int32),
+            jnp.asarray(kk, jnp.int32), jnp.asarray(NN, jnp.int32),
+            jnp.asarray(nn, jnp.int32), jnp.asarray(kk, jnp.int32),
+            lf_hi, lf_lo))
+
+    solo = z_of(np.array([rel["s"]]), np.array([rel["k"]]),
+                np.array([rel["n"]]), np.array([rel["N"]]))
+    mixed = z_of(np.array([rel["s"], sub["s"]]),
+                 np.array([rel["k"], sub["k"]]),
+                 np.array([rel["n"], sub["n"]]),
+                 np.array([rel["N"], sub["N"]]))
+    exact = hg.positive_significance(
+        np.array([rel["s"]]), np.array([rel["n"]]),
+        np.array([rel["k"]]), np.array([rel["N"]]),
+        np.array([rel["n"]]), np.array([rel["k"]]))
+    # batch invariance: the overflow pair must not perturb the relevant
+    # element at all
+    assert mixed[0] == solo[0]
+    # below-mode pair is masked to exactly 0
+    assert mixed[1] == 0.0
+    # accuracy contract vs exact f64 host series (~1e-5 for table path)
+    np.testing.assert_allclose(mixed[0], exact[0], atol=5e-4)
+
+
 def test_fast_mode_gate_decisions_match():
     rng = np.random.default_rng(2)
     k, K, n, N = _cases(rng, 400)
