@@ -394,6 +394,9 @@ class BatchedRealigner:
     # staircase drift-slack buckets (window lanes = band + widen*chunk);
     # one compile per bucket actually hit — see _realign_block
     WIDEN_LADDER = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16)
+    # pallas streams counts-bounded costs as int16 (counts <= rows);
+    # beyond this the auto path falls back to the XLA staircase kernel
+    PALLAS_MAX_ROWS = 32767
 
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
                  block_rows: int = 8, mode: str = "exact",
@@ -565,8 +568,7 @@ class BatchedRealigner:
                 use_stair = False
                 widen = 1
 
-        if (self.mesh is None and self.kernel in ("pallas", "xla")
-                and bs > 8):
+        if self.kernel in ("pallas", "xla") and bs > 8:
             # bound device HBM by the codes footprint. The Pallas path
             # emits 2-bit packed time-major codes (lpad*bs*w2/4 bytes,
             # no transposed copy) plus ~0.2 B/lane of window streams —
@@ -583,7 +585,12 @@ class BatchedRealigner:
                      if use_stair else self.bandwidth)
             factor = 0.5 if (use_stair and self.kernel == "pallas") \
                 else 2.0
-            if factor * lpad * bs * w2max > self._hbm_budget:
+            # on a mesh the block is row-sharded: each device holds
+            # bs/n rows of the codes tensor, so the budget bounds the
+            # per-shard footprint (the counts/delta replicas are small)
+            nshard = int(self.mesh.devices.size) if self.mesh is not None \
+                else 1
+            if factor * lpad * (bs / nshard) * w2max > self._hbm_budget:
                 h = (bs // 2 + 7) // 8 * 8
                 self._realign_block(rows[:h], br)
                 self._realign_block(rows[h:], br)
@@ -618,13 +625,17 @@ class BatchedRealigner:
         time_major = packed = False
         if use_stair:
             from ..ops import staircase_realign as sr
-            if self.kernel == "pallas":
+            # the pallas kernel streams counts-bounded costs as int16
+            # (counts <= MSA rows): at >= 32768 rows fall back to the
+            # XLA staircase for this block instead of crashing — the
+            # auto path must degrade, not abort (reference caps rows at
+            # 18000, PW_ReAligner.c:17, so this only triggers beyond
+            # reference scale).
+            if (self.kernel == "pallas"
+                    and self.msa.shape[0] <= self.PALLAS_MAX_ROWS):
                 import jax
 
                 from ..ops import pallas_realign as pr
-                # the kernel streams counts-bounded costs as int16
-                assert self.msa.shape[0] < 32768, \
-                    "pallas kernel caps MSAs at 32767 rows"
                 bpad = -(-bs // pr.BR) * pr.BR
                 if bpad != bs:
                     rows_p = np.concatenate(
@@ -701,7 +712,8 @@ class BatchedRealigner:
         # shard; per-shard rows must then be a multiple of pallas BR
         kern = "xla"
         quant = n
-        if self.kernel == "pallas" and self.mode == "staircase":
+        if (self.kernel == "pallas" and self.mode == "staircase"
+                and self.msa.shape[0] <= self.PALLAS_MAX_ROWS):
             from ..ops import pallas_realign as pr
             kern = "pallas"
             quant = n * pr.BR

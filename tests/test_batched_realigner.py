@@ -197,6 +197,56 @@ def test_staircase_block1_matches_serial():
         np.testing.assert_array_equal(out_s, out_b)
 
 
+def test_pallas_row_cap_falls_back_to_xla(monkeypatch):
+    """The pallas kernel streams counts-bounded costs as int16, so MSAs
+    beyond PALLAS_MAX_ROWS rows must silently fall back to the XLA
+    staircase kernel (same trajectory) instead of crashing the auto
+    path (r2 VERDICT weak #6)."""
+    from repeatresolver_tpu.ops import pallas_realign as pr
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel called beyond the row cap")
+
+    msa = make_msa(13, rows=10, tlen=200)
+    cfg = RealignerConfig(bandwidth=64)
+    log_x: list = []
+    out_x = realigner.realign_batched(msa.copy(), cfg, score_log=log_x,
+                                      block_rows=8, mode="staircase",
+                                      kernel="xla")
+    monkeypatch.setattr(realigner.BatchedRealigner,
+                        "PALLAS_MAX_ROWS", 4)
+    monkeypatch.setattr(pr, "staircase_fill_pallas", boom)
+    log_p: list = []
+    out_p = realigner.realign_batched(msa.copy(), cfg, score_log=log_p,
+                                      block_rows=8, mode="staircase",
+                                      kernel="pallas")
+    assert log_x == log_p
+    np.testing.assert_array_equal(out_x, out_p)
+
+
+def test_pallas_row_cap_at_real_scale(monkeypatch):
+    """A genuinely >= 32768-row MSA must route a pallas-kernel block
+    through the XLA fallback without the old assert crash."""
+    from repeatresolver_tpu.ops import banded_realign as br
+    from repeatresolver_tpu.ops import pallas_realign as pr
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel called beyond the row cap")
+
+    small = make_msa(3, rows=8, tlen=90)
+    big = np.full((32800, small.shape[1]), 5, np.int8)
+    big[:8] = small
+    eng = realigner.BatchedRealigner(big, bandwidth=64, block_rows=8,
+                                     mode="staircase", kernel="pallas")
+    assert big.shape[0] > eng.PALLAS_MAX_ROWS
+    monkeypatch.setattr(pr, "staircase_fill_pallas", boom)
+    eng._realign_block(list(range(8)), br)
+    # the fallback completed through the XLA staircase: counts stayed
+    # consistent with the rewritten rows (W_Con_Checker invariant) and
+    # the pallas kernel was never entered (boom would have raised)
+    realigner.validate_counts(eng.msa, eng.counts)
+
+
 def test_splice_matches_np_insert():
     """The memcpy-speed column/row splices must reproduce np.insert
     exactly, including multiple inserts at the same gap (tie order)."""

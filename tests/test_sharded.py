@@ -128,6 +128,46 @@ def test_mesh_realign_uneven_block_padding():
     np.testing.assert_array_equal(ref, out)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device virtual mesh")
+def test_mesh_blocks_respect_hbm_budget(monkeypatch):
+    """The HBM-budget block splitting must also apply on the mesh path
+    (r2 VERDICT weak #7): with a tiny RR_DEVICE_HBM_BUDGET every mesh
+    block is recursively halved, and the trajectory still matches the
+    single-device run under the equivalent per-shard budget (the mesh
+    bound divides the block footprint by the shard count)."""
+    from test_batched_realigner import make_msa
+
+    from repeatresolver_tpu.config import RealignerConfig
+    from repeatresolver_tpu.models import realigner
+
+    msa = make_msa(7, rows=20, tlen=300)
+    cfg = RealignerConfig(bandwidth=96, block_rows=16)
+
+    calls: list[int] = []
+    orig = realigner.BatchedRealigner._realign_block_mesh
+
+    def counting(self, rows, *a, **k):
+        calls.append(len(rows))
+        return orig(self, rows, *a, **k)
+
+    monkeypatch.setattr(realigner.BatchedRealigner,
+                        "_realign_block_mesh", counting)
+    # budget of 1 B forces a split of every 16-row block into 8+8 on
+    # both paths (the recursion stops at bs <= 8)
+    monkeypatch.setenv("RR_DEVICE_HBM_BUDGET", "1")
+    log1: list = []
+    ref = realigner.realign_batched(msa.copy(), cfg, score_log=log1,
+                                    mode="exact", kernel="xla")
+    log2: list = []
+    out = realigner.realign_batched(msa.copy(), cfg, score_log=log2,
+                                    mode="exact",
+                                    mesh=sharded.make_mesh(8))
+    assert calls and max(calls) <= 8     # every mesh block was split
+    assert log1 == log2
+    np.testing.assert_array_equal(ref, out)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4,
                     reason="needs >= 4 devices")
 def test_mesh_maxcorrs_full_gated_scan():
