@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..config import ResolverConfig
+from ..ops import devmm
 from ..ops import hypergeom as hg
 
 
@@ -337,12 +338,18 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
     # intersection counts are integers, exact in f32 sums)
     grows = np.nonzero(gsizes > mincov // 4)[0]
     gff = gf[grows]                                  # [G, R]
+    # the [G, R] group matrix is reused by every seed chunk — wrap it
+    # once so a device-routed run ships it over the link a single time
+    # (ops/devmm; host fallback is the identical-value f32 BLAS path)
+    gff_o = devmm.Operand(gd.groups[grows])
+    use_dev = devmm.device_enabled()
     cliques: dict[int, list[int]] = {}
     for lo in range(0, len(seeds), seed_chunk):
         sc = seeds[lo:lo + seed_chunk]
         gseed = gf[sc]                               # [S, R]
         covseed = covf[sc // 5]                      # [S, R]
-        schnitt = gff @ gseed.T                      # [G, S]
+        schnitt_i = devmm.matmul_t(gff_o, gd.groups[sc]).astype(
+            np.int64)                                # [G, S]
         # sub-mode pairs have true Z < ~0.5, so with greedy comfortably
         # above that the mode-gated evaluator is decision- and
         # value-identical for every candidate that can enter the clique
@@ -353,7 +360,6 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
         # (values are per-element, so batching is exact — hypergeom's
         # series stop is per-element); the coverage-side products are
         # computed only at the unique candidate group rows / columns
-        schnitt_i = schnitt.astype(np.int64)
         candg_list = []
         for si, seed in enumerate(sc):
             candg_list.append(np.nonzero(
@@ -365,15 +371,23 @@ def group_refinement(gd: GroupData, maxcorrs: np.ndarray, cutoff: float,
             catg = np.concatenate(candg_list)
             catc = grows[catg]
             si_rep = np.repeat(np.arange(len(sc)), lens)
-            ug, ug_inv = np.unique(catg, return_inverse=True)
-            gr1u = gff[ug] @ covseed.T               # [Ug, S]
+            if use_dev:
+                # MXU path: one [G, S] product on the device-resident
+                # group matrix replaces the unique-candidate-row host
+                # matmul (and its np.unique); values exact int32
+                gr1_full = devmm.matmul_t(gff_o, gd.coverage[sc // 5])
+                gr1v = gr1_full[catg, si_rep].astype(np.int64)
+            else:
+                ug, ug_inv = np.unique(catg, return_inverse=True)
+                gr1u = gff[ug] @ covseed.T           # [Ug, S]
+                gr1v = gr1u[ug_inv, si_rep].astype(np.int64)
             uc, uc_inv = np.unique(catc // 5, return_inverse=True)
             cu = covf[uc]                            # [Uc, R]
             gr2u = cu @ gseed.T                      # [Uc, S]
             covu = cu @ covseed.T                    # [Uc, S]
             z_all = sig_fn(
                 schnitt_i[catg, si_rep],
-                gr1u[ug_inv, si_rep].astype(np.int64),
+                gr1v,
                 gr2u[uc_inv, si_rep].astype(np.int64),
                 covu[uc_inv, si_rep].astype(np.int64),
                 gsizes[catc], gsizes[sc[si_rep]],
@@ -530,9 +544,8 @@ def relative_vars(gd: GroupData, u: np.ndarray, u_no: int,
         return []
     # pairwise within the cluster, j >= i + 100 (>= 20 columns)
     sub = gd.groups[np.ix_(sel_idx, np.nonzero(u_group)[0])]
-    subf = sub.astype(np.float64)
-    schnitt = subf @ subf.T
-    gr = subf.sum(axis=1).astype(np.int64)
+    schnitt = devmm.matmul_t(sub, sub)       # exact int32, MXU-shaped
+    gr = sub.sum(axis=1).astype(np.int64)
     cov = int(u_group.sum())
     marked = np.zeros(sel_idx.size, bool)
     # all (a, b) pairs with sel_idx[b] >= sel_idx[a] + 100, evaluated
@@ -557,12 +570,16 @@ def relative_vars(gd: GroupData, u: np.ndarray, u_no: int,
 
 
 def _grmatch_matrix(a: np.ndarray, b: np.ndarray, sc: int) -> np.ndarray:
-    """GrMatch over bit-vectors: sc*64 - hamming (:141-153)."""
-    af = a.astype(np.float64)
-    bf = b.astype(np.float64)
-    both = af @ bf.T
-    ham = (af.sum(1)[:, None] + bf.sum(1)[None, :] - 2 * both)
-    return (sc * 64 - ham).astype(np.int64)
+    """GrMatch over bit-vectors: sc*64 - hamming (:141-153). The
+    [n, vars] x [vars, n] intersection product is MXU-shaped and
+    device-routed when big enough (ops/devmm; exact int32)."""
+    if a.shape[1] == 0:
+        both = np.zeros((a.shape[0], b.shape[0]), np.int64)
+    else:
+        both = devmm.matmul_t(a, b).astype(np.int64)
+    ham = (a.sum(1).astype(np.int64)[:, None]
+           + b.sum(1).astype(np.int64)[None, :] - 2 * both)
+    return sc * 64 - ham
 
 
 def kmeans(gd: GroupData, u: np.ndarray, u_no: int, vars_: list[int],
