@@ -568,7 +568,11 @@ class BatchedRealigner:
                 use_stair = False
                 widen = 1
 
-        if self.kernel in ("pallas", "xla") and bs > 8:
+        # mesh blocks always realign through the device kernels (the
+        # mesh branch maps kernel="native" to the XLA fill), so the
+        # budget applies to them regardless of the kernel label
+        if (self.kernel in ("pallas", "xla")
+                or self.mesh is not None) and bs > 8:
             # bound device HBM by the codes footprint. The Pallas path
             # emits 2-bit packed time-major codes (lpad*bs*w2/4 bytes,
             # no transposed copy) plus ~0.2 B/lane of window streams —

@@ -267,16 +267,18 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     # guarded below)
     if packed:
         assert time_major
-        l4, _, wc = codes.shape
-        assert l4 * b * wc < (1 << 31), "packed codes exceed int32 flat"
+        # packed codes: 16 two-bit moves per int32 word, step-major
+        # within the word (pallas_realign packed layout)
+        l16, _, wc = codes.shape
+        assert l16 * b * wc < (1 << 31), "packed codes exceed int32 flat"
         codes_flat = codes.reshape(-1)
 
         def read_patch(xs_p, off_p):
             # xs_p [B, U], off_p [B, U, U]
-            byte_idx = ((xs_p >> 2)[:, :, None] * (b * wc)
+            word_idx = ((xs_p >> 4)[:, :, None] * (b * wc)
                         + bidx[:, None, None] * wc + off_p)
-            byte = jnp.take(codes_flat, byte_idx).astype(jnp.int32)
-            return (byte >> (((xs_p & 3) * 2)[:, :, None])) & 3
+            word = jnp.take(codes_flat, word_idx)
+            return (word >> (((xs_p & 15) * 2)[:, :, None])) & 3
     elif time_major:
         lc, _, wc = codes.shape
         assert lc * b * wc < (1 << 31), "codes exceed int32 flat index"

@@ -17,6 +17,7 @@ Produces bit-identical move codes to ops/staircase_realign.staircase_fill
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .banded_realign import BIG, _row_costs
 
-BR = 8  # rows per program (sublane dimension)
+# Rows per program (sublane dimension). The step loop is a serial
+# dependency chain (band carry -> shift -> min -> prefix-min) whose
+# depth is independent of BR, and grid cells run sequentially on the
+# one TensorCore — so BR is the ILP knob: more rows per cell means
+# more independent vregs in flight per chain stage (overridable for
+# on-chip sweeps via RR_PALLAS_BR).
+BR = int(os.environ.get("RR_PALLAS_BR", "8"))
 
 
 def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
@@ -81,12 +88,17 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
     # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int8 stream
     flags = (own_w | (validc.astype(jnp.int32) << 3)
              | (ok_ins.astype(jnp.int32) << 4)).astype(jnp.int8)
-    seq_c = seqs.reshape(b, nchunks, t).astype(jnp.int32)
+    # per-step scalars stream step-major so the kernel reads them with
+    # one dynamic [BR, 1] slice per step instead of a 128-lane masked
+    # reduce: [NC, T, B, 1]
+    seq_c = jnp.moveaxis(seqs.reshape(b, nchunks, t), 0, 2
+                         ).astype(jnp.int32)[:, :, :, None]
     # per-position reference band start in window-lane space (see
     # staircase_realign: candidates outside [way-bh, way-bh+w) must be
     # masked; the widened window is drift slack, not extra band)
-    lob = (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
-           - a_chunks[:, :, None]).astype(jnp.int32)
+    lob = jnp.moveaxis(
+        (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
+         - a_chunks[:, :, None]).astype(jnp.int32), 0, 2)[:, :, :, None]
 
     def nc_major(x):             # [B, NC, ...] -> [NC, B, ...]
         return jnp.swapaxes(x, 0, 1)
@@ -95,8 +107,8 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
                 ns=nc_major(ns_w), flags=nc_major(flags),
                 gy1=nc_major(gy1_w), c4=nc_major(c4_w),
                 dshift=nc_major(dshift)[:, :, None],
-                gtop=nc_major(gtop), seq=nc_major(seq_c),
-                lob=nc_major(lob),
+                gtop=nc_major(gtop), seq=seq_c,
+                lob=lob,
                 a=a_chunks,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
                 nchunks=nchunks, w2=w2, lpad=lpad)
@@ -118,7 +130,7 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
             gy1_ref, c4_ref, dsh_ref, gtop_ref, lob_ref, len_ref,
             codes_ref, bandout_ref, band):
     ci = pl.program_id(1)
-    t = seq_ref.shape[2]
+    t = seq_ref.shape[1]
     w2 = gap_ref.shape[2]
 
     gap_w = gap_ref[0].astype(jnp.int32)
@@ -131,6 +143,12 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     gy1_w = gy1_ref[0]
     jadd = gy1_w - gtop_ref[0]                          # [BR, W2]
     lengths = len_ref[:, 0]
+    # hoisted once per grid cell: the 4 per-symbol count planes (the
+    # old kernel re-read and re-converted the [BR, W2, 4] block every
+    # step) and the masked insert-arm base
+    c4 = c4_ref[0].astype(jnp.int32)                    # [BR, W2, 4]
+    c4_0, c4_1 = c4[:, :, 0], c4[:, :, 1]
+    c4_2, c4_3 = c4[:, :, 2], c4[:, :, 3]
 
     # ---- chunk-boundary band shift (d >= 0) with jump fill
     @pl.when(ci == 0)
@@ -143,10 +161,13 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
         lastcol = bcur[:, w2 - 1:w2]                    # [BR, 1]
         d_all = dsh_ref[0, :, 0][:, None]               # [BR, 1]
         # per-row left-shift by d via binary decomposition of d into
-        # static shifts (mosaic has no multi-vreg lane gather)
+        # static shifts (mosaic has no multi-vreg lane gather); bits
+        # >= w2 need no shift arm — every lane with iot + d >= w2 is
+        # jump-filled below regardless (and k == w2 would slice a
+        # zero-width vector, which mosaic rejects)
         shifted = bcur
         k = 1
-        while k <= w2:
+        while k < w2:
             sh = jnp.concatenate(
                 [shifted[:, k:],
                  jnp.full((BR, k), BIG, jnp.int32)], axis=1)
@@ -156,66 +177,58 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
         jump = lastcol + jadd
         band[:, :] = jnp.where(iot + d_all >= w2, jump, shifted)
 
-    seq_all = seq_ref[0]                                # [BR, T]
-    lob_all = lob_ref[0]                                # [BR, T]
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
     lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
+    big_col = jnp.full((BR, 1), BIG, jnp.int32)
 
-    def step(tt, _):
+    def step(tt, carry):
+        bcur, word = carry
         x = ci * t + tt
-        # dynamic lane read via masked reduce (mosaic-friendly)
-        s = jnp.max(jnp.where(lane_t == tt, seq_all, -1),
-                    axis=1, keepdims=True)              # [BR, 1]
-        lo = jnp.max(jnp.where(lane_t == tt, lob_all, -(1 << 20)),
-                     axis=1, keepdims=True)             # [BR, 1]
+        # per-step scalars stream step-major: one [BR, 1] dynamic read
+        s = seq_ref[0, tt, :, :]                        # [BR, 1]
+        lo = lob_ref[0, tt, :, :]                       # [BR, 1]
         inband = (lane_w2 >= lo) & (lane_w2 < lo + w)
-        c4 = c4_ref[0].astype(jnp.int32)                # [BR, W2, 4]
         csel = jnp.where(
-            s == 0, c4[:, :, 0],
-            jnp.where(s == 1, c4[:, :, 1],
-                      jnp.where(s == 2, c4[:, :, 2], c4[:, :, 3])))
+            s == 0, c4_0,
+            jnp.where(s == 1, c4_1,
+                      jnp.where(s == 2, c4_2, c4_3)))
         subcost = ns_w - (csel - (own_w == s))
-        bcur = band[:, :]
         first = x == 0
         diag_prev = jnp.where(
             first, 0,
-            jnp.concatenate(
-                [jnp.full((BR, 1), BIG, jnp.int32), bcur[:, :-1]],
-                axis=1))
+            jnp.concatenate([big_col, bcur[:, :-1]], axis=1))
         up_prev = jnp.where(first, 0, bcur)
         diag = diag_prev + subcost
         av = jnp.minimum(diag, jnp.where(ok_ins, up_prev + ins_w, BIG))
         av = jnp.where(valid & inband, av, BIG)
         m = _prefix_min(av - gy1_w, w2) + gy1_w
-        left = jnp.concatenate(
-            [jnp.full((BR, 1), BIG, jnp.int32), m[:, :-1]], axis=1)
+        left = jnp.concatenate([big_col, m[:, :-1]], axis=1)
         is_last = (x == lengths - 1)[:, None]
         gap_hit = (m == left + gap_w) | (is_last & (m == left))
         codes32 = jnp.where(gap_hit, 0,
                             jnp.where(m == diag, 1, 2))
         if packed:
-            # 4 steps share a byte (2 bits each): read-modify-write the
-            # VMEM output block; only the completed byte reaches HBM.
-            r = tt & 3
-            mult = jnp.where(r == 0, 1,
-                             jnp.where(r == 1, 4,
-                                       jnp.where(r == 2, 16, 64)))
-            contrib = codes32 * mult
-            prev = jnp.where(
-                r == 0, 0,
-                codes_ref[0, pl.ds(tt // 4, 1), :, :][0]
-                .astype(jnp.int32))
-            codes_ref[0, pl.ds(tt // 4, 1), :, :] = \
-                (prev | contrib).astype(jnp.uint8)[None, :, :]
+            # 16 steps share an int32 word (2 bits each), accumulated
+            # in the loop carry (registers) and flushed to the VMEM
+            # output block once per word — no per-step store, no
+            # per-step int32->uint8 relayout
+            word = word | (codes32 << (2 * (tt & 15)))
+
+            @pl.when((tt & 15) == 15)
+            def _():
+                codes_ref[0, pl.ds(tt >> 4, 1), :, :] = word[None]
+
+            word = jnp.where((tt & 15) == 15,
+                             jnp.zeros((BR, w2), jnp.int32), word)
         else:
             codes_ref[0, pl.ds(tt, 1), :, :] = \
                 codes32.astype(jnp.uint8)[None, :, :]
         active = (x < lengths)[:, None]
-        band[:, :] = jnp.where(active, m, bcur)
-        return 0
+        return (jnp.where(active, m, bcur), word)
 
-    jax.lax.fori_loop(0, t, step, 0)
-    bandout_ref[:, :] = band[:, :]
+    band_fin, _ = jax.lax.fori_loop(
+        0, t, step, (band[:, :], jnp.zeros((BR, w2), jnp.int32)))
+    band[:, :] = band_fin
+    bandout_ref[:, :] = band_fin
 
 
 @functools.partial(jax.jit,
@@ -232,16 +245,17 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     (B=64, L~33k, W2=1640) costs a ~7 GB HBM round trip per block.
     entry_and_backtrack(time_major=True) consumes it directly.
 
-    packed=True (requires time_major) emits 4 move codes per byte
-    (2 bits each, step-major within the byte): codes [Lpad//4, B, W2]
-    uint8 — one quarter the HBM write traffic of the dominant output.
-    entry_and_backtrack(packed=True) unpacks on read."""
+    packed=True (requires time_major) emits 16 move codes per int32
+    word (2 bits each, step-major within the word): codes
+    [Lpad//16, B, W2] int32 — one quarter the HBM write traffic of the
+    dominant output, accumulated in kernel registers and stored once
+    per word. entry_and_backtrack(packed=True) unpacks on read."""
     w = bandwidth
     t = chunk
     b, c = rows_old.shape
     l = seqs.shape[1]
     assert b % BR == 0, f"block rows must be a multiple of {BR}"
-    assert not packed or (time_major and t % 4 == 0)
+    assert not packed or (time_major and t % 16 == 0)
     wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
                   widen=widen)
     nc = wd["nchunks"]
@@ -250,13 +264,13 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     def bs(shape, index):
         return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
 
-    tc = t // 4 if packed else t
+    tc = t // 16 if packed else t
     grid = (b // BR, nc)
     codes, band_out = pl.pallas_call(
         functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
-            bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # seq
+            bs((1, t, BR, 1), lambda bg, ci: (ci, 0, bg, 0)),  # seq
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gap
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ins
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ns
@@ -265,7 +279,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             bs((1, BR, w2, 4), lambda bg, ci: (ci, bg, 0, 0)),  # c4
             bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # dshift
             bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # gtop
-            bs((1, BR, t), lambda bg, ci: (ci, bg, 0)),       # lob
+            bs((1, t, BR, 1), lambda bg, ci: (ci, 0, bg, 0)),  # lob
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
         out_specs=[
@@ -273,7 +287,8 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             bs((BR, w2), lambda bg, ci: (bg, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nc, tc, b, w2), jnp.uint8),
+            jax.ShapeDtypeStruct((nc, tc, b, w2),
+                                 jnp.int32 if packed else jnp.uint8),
             jax.ShapeDtypeStruct((b, w2), jnp.int32),
         ],
         scratch_shapes=[

@@ -71,7 +71,8 @@ def check_pallas_parity():
     cp, bp, ap = map(np.asarray, (cp, bp, ap))
     l = seqs.shape[1]
     x = np.arange(l)
-    unpacked = (cp[x >> 2] >> ((x & 3) * 2)[:, None, None]) & 3
+    # 16 two-bit codes per int32 word (pallas packed layout)
+    unpacked = (cp[x >> 4] >> ((x & 15) * 2)[:, None, None]) & 3
     assert np.array_equal(np.transpose(unpacked, (1, 0, 2)), cx), \
         "packed time-major codes != xla codes"
     assert np.array_equal(bp, bx) and np.array_equal(ap, ax)
