@@ -110,6 +110,13 @@ def main():
                     help="only run the TPU leg (no parity assert)")
     args = ap.parse_args()
 
+    # The orchestrator only preps the dataset (simulate/cut/align) and
+    # reads files; force it onto the CPU backend so the initial-aligner
+    # device DP does not land on the tunneled chip (its [L, B, T] move
+    # code tensor pads B=8 up to 128 lanes there — 16x HBM blow-up).
+    # The legs run in their own subprocesses and pick their backends.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from repeatresolver_tpu import config as C
     from repeatresolver_tpu.utils import io as rio
     from repeatresolver_tpu.utils.hostmem import tune_allocator
