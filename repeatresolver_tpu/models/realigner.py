@@ -461,6 +461,14 @@ class BatchedRealigner:
         from ..ops import banded_realign as br
         r = self.msa.shape[0]
         bs = self.block_rows
+        if (bs == 1 and self.kernel == "native" and self.mode == "exact"
+                and os.environ.get("RR_SERIAL_INDIRECT", "1") != "0"):
+            from ..utils import native as nat
+            lib = nat.get_lib()
+            if lib is not None and hasattr(lib, "realign_block_native"):
+                self._pending = None
+                self._sweep_serial_indirect(nat)
+                return
         # block=1 must drop empty columns and splice inserted ones at
         # every step (reference W_Con frees empty columns before the
         # next row, PW_ReAligner.c:706-763, and Column_Adder splices
@@ -509,6 +517,120 @@ class BatchedRealigner:
         # discovery within a row (Column_Adder splice order)
         pend.sort(key=lambda t: (t[0], t[1], -t[2]))
         self._do_inserts([(g, k, b) for g, k, o, b in pend])
+
+    def _sweep_serial_indirect(self, nat) -> None:
+        """Serial (reference-order Gauss-Seidel) sweep at block_rows=1
+        through the native row DP, with the MSA held in a physically
+        over-allocated column store plus a logical->physical column
+        index.
+
+        The reference keeps columns in a linked list (PW_ReAligner.c
+        W_Con frees empty columns, Column_Adder splices inserted ones
+        — both O(1) pointer ops). The dense-array equivalent paid a
+        full [R, C] rebuild per splice batch and per compaction; at
+        paper scale that is ~2.5 GB of traffic per churned row, and
+        near convergence ~all rows churn score-neutrally (insert one
+        column, free another), so the serial tail was rebuild-bound at
+        ~4x the DP cost. Here a splice is an np.insert into the int64
+        column-order array (O(C)) plus one O(R) column write into a
+        free physical slot, and an empty-column drop is the same in
+        reverse. Per-row DP inputs are gathered through the index, so
+        results, trajectory, and the final MSA are bit-identical to
+        the direct block-1 path (oracle asserts in
+        tests/test_batched_realigner.py)."""
+        import time as _time
+        msa, counts = self.msa, self.counts
+        r, c = msa.shape
+        bw = self.bandwidth
+        slack = max(4096, c // 8)
+        phys = np.empty((r, c + slack), np.int8)
+        phys[:, :c] = msa
+        phys[:, c:] = 5
+        cphys = np.zeros((c + slack, 6), np.int32)
+        cphys[:c] = counts
+        l2p = np.arange(c, dtype=np.int64)
+        free = list(range(c, c + slack))
+        log_every = int(os.environ.get("RR_SWEEP_LOG", "0") or 0)
+        t_start = _time.perf_counter()
+        for k in range(r):
+            # W_Con: free empty columns before every row (counts-read)
+            cl = cphys[l2p]
+            keep = (cl[:, 0] | cl[:, 1] | cl[:, 2] | cl[:, 3]) > 0
+            if not keep.all():
+                free.extend(l2p[~keep].tolist())
+                l2p = l2p[keep]
+                cl = np.ascontiguousarray(cl[keep])
+            cc = len(l2p)
+            row_old = phys[k, l2p]
+            pos = np.nonzero(row_old < 4)[0]
+            ln = len(pos)
+            if ln:
+                way = np.ascontiguousarray(pos[None, :], np.int32)
+                seq = np.ascontiguousarray(row_old[pos][None, :])
+                lens = np.array([ln], np.int32)
+                cap = 512
+                while True:
+                    res = nat.realign_block(cl, row_old[None], seq,
+                                            way, lens, bw, ins_cap=cap)
+                    new_rows, _, iy, ib, inn = res
+                    if int(inn[0]) < cap:
+                        break
+                    cap = max(cap * 2, int(inn[0]) + 1)
+                new = new_rows[0]
+            else:
+                new = np.full(cc, 5, np.int8)
+                iy = ib = None
+                inn = np.zeros(1, np.int32)
+            d = np.nonzero(row_old != new)[0]
+            if len(d):
+                pd = l2p[d]
+                cphys[pd, row_old[d].astype(np.int64)] -= 1
+                cphys[pd, new[d].astype(np.int64)] += 1
+                phys[k, pd] = new[d]
+            n = int(inn[0])
+            if n:
+                if len(free) < n:
+                    # physical capacity exhausted: compact + regrow
+                    grow = max(4096, cc // 8) + n
+                    ph2 = np.empty((r, cc + grow), np.int8)
+                    ph2[:, :cc] = phys[:, l2p]
+                    ph2[:, cc:] = 5
+                    c2 = np.zeros((cc + grow, 6), np.int32)
+                    c2[:cc] = cphys[l2p]
+                    phys, cphys = ph2, c2
+                    l2p = np.arange(cc, dtype=np.int64)
+                    free = list(range(cc, cc + grow))
+                # reference order at one gap: reverse discovery within
+                # the row (Column_Adder splice order); fills for the
+                # whole batch are computed against the pre-splice MSA
+                # (free slots are invisible through l2p until spliced)
+                order = sorted(range(n),
+                               key=lambda o: (int(iy[0, o]), -o))
+                gaps = np.array([int(iy[0, o]) for o in order],
+                                np.int64)
+                slots = np.array([free.pop() for _ in range(n)],
+                                 np.int64)
+                for i in range(n):
+                    g = int(gaps[i])
+                    p = int(slots[i])
+                    if g == cc - 1:
+                        phys[:, p] = 5
+                    else:
+                        nxt = phys[:, l2p[g + 1]]
+                        prv = phys[:, l2p[g]]
+                        col = np.full(r, 4, np.int8)
+                        col[(nxt == 5) | (prv == 5)] = 5
+                        phys[:, p] = col
+                    phys[k, p] = ib[0, order[i]]
+                    cnt = np.bincount(phys[:, p], minlength=6)
+                    cphys[p] = cnt[:6]
+                l2p = np.insert(l2p, gaps + 1, slots)
+            if log_every and k % (log_every * 64) == 0:
+                print(f"[sweep] row {k}/{r} "
+                      f"elapsed {_time.perf_counter() - t_start:.0f}s "
+                      f"cols {len(l2p)} free {len(free)}", flush=True)
+        self.msa = np.ascontiguousarray(phys[:, l2p])
+        self.counts = np.ascontiguousarray(cphys[l2p])
 
     def _realign_block(self, rows: list[int], br) -> None:
         msa, counts = self.msa, self.counts
