@@ -50,6 +50,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# tunnel compiles run minutes cold; the persistent cache makes repeat
+# shapes (this bench is fixed-shape) compile in seconds across
+# processes, so the subprocess timeouts below stay meaningful
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 
 BASELINE_CELLS_PER_S = 8.33e7
@@ -80,8 +85,17 @@ def _inputs(b=64, l=2048, w=512, c=4096):
 
 def measure(backend=None, variant="fill"):
     """variant: 'fill' (XLA exact-band fill), 'pallas' (staircase
-    Pallas fill, the production TPU kernel), 'fused' (fill +
-    device backtrack, the full in-pipeline device step)."""
+    Pallas fill in the production packed time-major layout), 'fused'
+    (fill + device backtrack), 'pallas_fused' (the full production
+    TPU step).
+
+    On the tunneled backend each dispatch costs ~35-40 ms of relay
+    round-trip — comparable to the kernel itself at bench shapes — so
+    K iterations are chained inside ONE jit with a value-neutral
+    data dependency (counts perturbed by acc & 1: same shapes, same
+    work, un-CSE-able, serially ordered) and the scalar reduced
+    inside the dispatch. Rates are per-iteration; the residual
+    overhead is one RTT amortized over K."""
     import jax
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -92,22 +106,24 @@ def measure(backend=None, variant="fill"):
     counts, msa, seqs, ways, lengths, b, l, w, c = _inputs()
     args = tuple(jax.device_put(jnp.asarray(x))
                  for x in (counts, msa, seqs, ways, lengths))
+    on_cpu = jax.default_backend() == "cpu"
+    chain = 1 if on_cpu else 4
 
     if variant == "pallas":
         from repeatresolver_tpu.ops import pallas_realign as pr
-        interp = jax.default_backend() == "cpu"
 
-        def run():
+        def step(cn):
+            # production layout (realigner.py pallas branch): packed
+            # time-major codes — no [B, L, W2] transpose, 2-bit words
             out = pr.staircase_fill_pallas(
-                *args, np.int32(c), bandwidth=w, chunk=128,
-                interpret=interp)
-            return int(np.asarray(out[1][0, 0]))
+                cn, *args[1:], np.int32(c), bandwidth=w, chunk=128,
+                interpret=on_cpu, time_major=True, packed=True)
+            return out[1][0, 0]
     elif variant == "pallas_fused":
         # the production TPU step: time-major Pallas staircase fill
         # (no codes transpose) + device entry/backtrack
         from repeatresolver_tpu.ops import pallas_realign as pr
         from repeatresolver_tpu.ops import staircase_realign as sr
-        interp = jax.default_backend() == "cpu"
         t = 128
         anf_full = np.asarray(sr.staircase_anf(ways, lengths, w, t, c))
         bh = w // 2
@@ -116,15 +132,15 @@ def measure(backend=None, variant="fill"):
         anf_d = jax.device_put(jnp.asarray(anf_full))
         eb_d = jax.device_put(jnp.asarray(entry_bound))
 
-        def run():
+        def step(cn):
             codes, fband, fanf = pr.staircase_fill_pallas(
-                *args, np.int32(c), bandwidth=w, chunk=t,
-                interpret=interp, time_major=True, packed=True)
+                cn, *args[1:], np.int32(c), bandwidth=w, chunk=t,
+                interpret=on_cpu, time_major=True, packed=True)
             new_rows, best, iy, ib, inn = br.entry_and_backtrack(
                 codes, fband, fanf, args[2], anf_d, eb_d, args[4],
                 np.int32(c), cpad=c, bandwidth=w + t,
                 time_major=True, packed=True)
-            return int(np.asarray(new_rows[0, 0]))
+            return new_rows[0, 0].astype(jnp.int32)
     elif variant == "fused":
         bh = w // 2
         anf_full = np.maximum(0, ways - bh).astype(np.int32)
@@ -133,17 +149,30 @@ def measure(backend=None, variant="fill"):
         anf_d = jax.device_put(jnp.asarray(anf_full))
         eb_d = jax.device_put(jnp.asarray(entry_bound))
 
-        def run():
-            codes, fband, fanf = br.banded_fill(*args, np.int32(c),
+        def step(cn):
+            codes, fband, fanf = br.banded_fill(cn, *args[1:],
+                                                np.int32(c),
                                                 bandwidth=w)
             new_rows, best, iy, ib, inn = br.entry_and_backtrack(
                 codes, fband, fanf, args[2], anf_d, eb_d, args[4],
                 np.int32(c), cpad=c, bandwidth=w)
-            return int(np.asarray(new_rows[0, 0]))
+            return new_rows[0, 0].astype(jnp.int32)
     else:
-        def run():
-            out = br.banded_fill(*args, np.int32(c), bandwidth=w)
-            return int(np.asarray(out[1][0, 0]))
+        def step(cn):
+            out = br.banded_fill(cn, *args[1:], np.int32(c),
+                                 bandwidth=w)
+            return out[1][0, 0]
+
+    @jax.jit
+    def chained():
+        acc = jnp.int32(0)
+        for i in range(chain):
+            cn = args[0] + (acc & 1) if i else args[0]
+            acc = acc + step(cn)
+        return acc
+
+    def run():
+        return int(np.asarray(chained()))
 
     run()  # compile
     run()  # warm (the tunneled backend's first calls are erratic)
@@ -153,7 +182,7 @@ def measure(backend=None, variant="fill"):
         run()
         times.append(time.perf_counter() - t0)
     platform = jax.devices()[0].platform
-    return b * l * w / min(times), platform
+    return b * l * w * chain / min(times), platform
 
 
 def measure_rtt():
@@ -285,9 +314,14 @@ def _subprocess_rates(backend, variants):
         env["JAX_PLATFORMS"] = "cpu"
     out = {}
     try:
+        # the tunneled backend compiles 4 variants; cold compiles run
+        # minutes each (cache makes reruns fast), so give the device
+        # leg real headroom — a hung tunnel still only costs this one
+        # subprocess
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
-                             timeout=600, env=env)
+                             timeout=600 if backend == "cpu" else 2400,
+                             env=env)
         for line in res.stdout.splitlines():
             parts = line.split()
             if parts and parts[0] == "RATE":

@@ -70,45 +70,51 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
     def gat(arr):
         return jax.vmap(jnp.take)(arr, ys)
 
-    gap_w = gat(gapp)
+    gap_w = gat(gapp)                                          # [B,NC,W2]
     ins_w = gat(insp)
     ns_w = gat(nsp)
     own_w = gat(ownp)
     gy1_w = jax.vmap(jnp.take)(gp, ys + 1)
-    c4_w = jax.vmap(lambda cc, yy: cc[yy])(
-        jnp.broadcast_to(counts4, (b,) + counts4.shape), ys)  # [B,NC,W2,4]
+    # per-symbol count planes as four full-lane streams [B,4,NC,W2]:
+    # a packed [..., 4] minor dim would tile 4-in-128-lanes on TPU
+    # (32x VMEM padding + slow loads — measured 5x on the whole
+    # kernel); planar delivery keeps every stream in native layout
+    c4_w = jnp.stack(
+        [jax.vmap(jnp.take)(
+            jnp.broadcast_to(counts4[:, k], (b, counts4.shape[0])), ys)
+         for k in range(4)], axis=1)
 
     prev_a = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), a_chunks[:, :-1]], axis=1)
     dshift = jnp.clip(a_chunks - prev_a, 0, w2 + 1)            # [B, NC]
-    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)[:, :, None]     # [B,NC,1]
+    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)                 # [B, NC]
 
     validc = ys < ncols
     ok_ins = (ys > 0) & (ys < ncols - 1)
     # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int8 stream
     flags = (own_w | (validc.astype(jnp.int32) << 3)
              | (ok_ins.astype(jnp.int32) << 4)).astype(jnp.int8)
-    # per-step scalars stream step-major so the kernel reads them with
-    # one dynamic [BR, 1] slice per step instead of a 128-lane masked
-    # reduce: [NC, T, B, 1]
-    seq_c = jnp.moveaxis(seqs.reshape(b, nchunks, t), 0, 2
-                         ).astype(jnp.int32)[:, :, :, None]
+    # Per-step scalars in sequence-native [B, Lpad] layout — each grid
+    # cell streams its (BR, T) tile and the kernel reads one [BR, 1]
+    # dynamic lane slice per step. The old [NC, T, B, 1] step-major
+    # layout had a minor dim of 1 (128x tile padding): XLA inserted a
+    # relayout copy between the producer and the Pallas custom call
+    # costing more than the kernel itself.
+    seq_c = seqs.astype(jnp.int32)
     # per-position reference band start in window-lane space (see
     # staircase_realign: candidates outside [way-bh, way-bh+w) must be
     # masked; the widened window is drift slack, not extra band)
-    lob = jnp.moveaxis(
-        (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
-         - a_chunks[:, :, None]).astype(jnp.int32), 0, 2)[:, :, :, None]
+    lob = (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
+           - a_chunks[:, :, None]).astype(jnp.int32).reshape(b, lpad)
 
     def nc_major(x):             # [B, NC, ...] -> [NC, B, ...]
         return jnp.swapaxes(x, 0, 1)
 
     return dict(gap=nc_major(gap_w), ins=nc_major(ins_w),
                 ns=nc_major(ns_w), flags=nc_major(flags),
-                gy1=nc_major(gy1_w), c4=nc_major(c4_w),
-                dshift=nc_major(dshift)[:, :, None],
-                gtop=nc_major(gtop), seq=seq_c,
-                lob=lob,
+                gy1=nc_major(gy1_w),
+                c4=jnp.transpose(c4_w, (2, 1, 0, 3)),  # [NC,4,B,W2]
+                dshift=dshift, gtop=gtop, seq=seq_c, lob=lob,
                 a=a_chunks,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
                 nchunks=nchunks, w2=w2, lpad=lpad)
@@ -133,7 +139,7 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     t = seq_ref.shape[1]
     w2 = gap_ref.shape[2]
 
-    gap_w = gap_ref[0].astype(jnp.int32)
+    gap_w = gap_ref[0].astype(jnp.int32)                # [BR, W2]
     ins_w = ins_ref[0].astype(jnp.int32)
     ns_w = ns_ref[0].astype(jnp.int32)
     flags = flags_ref[0].astype(jnp.int32)
@@ -141,14 +147,26 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     valid = (flags & 8) != 0
     ok_ins = (flags & 16) != 0
     gy1_w = gy1_ref[0]
-    jadd = gy1_w - gtop_ref[0]                          # [BR, W2]
+    # per-cell/per-step scalars live in [BR, NC] / [BR, T] tiles (one
+    # or two vregs); dynamic lane slices are not lowerable on TPU, so
+    # extraction is a masked lane-reduce — a few vector ops per read
+    nc_n = dsh_ref.shape[1]
+    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (BR, nc_n), 1)
+    cell_sel = lane_nc == ci
+    gtop_c = jnp.sum(jnp.where(cell_sel, gtop_ref[:, :], 0),
+                     axis=1, keepdims=True)             # [BR, 1]
+    jadd = gy1_w - gtop_c                               # [BR, W2]
     lengths = len_ref[:, 0]
-    # hoisted once per grid cell: the 4 per-symbol count planes (the
-    # old kernel re-read and re-converted the [BR, W2, 4] block every
-    # step) and the masked insert-arm base
-    c4 = c4_ref[0].astype(jnp.int32)                    # [BR, W2, 4]
-    c4_0, c4_1 = c4[:, :, 0], c4[:, :, 1]
-    c4_2, c4_3 = c4[:, :, 2], c4[:, :, 3]
+    seq_all = seq_ref[:, :]                             # [BR, T]
+    lob_all = lob_ref[:, :]
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
+    # hoisted once per grid cell: the 4 per-symbol count planes arrive
+    # as native-layout [1, 4, BR, W2] streams (a packed [..., 4] minor
+    # dim tiles 4-in-128-lanes — 32x padding, 5x slower kernel)
+    c4_0 = c4_ref[0, 0].astype(jnp.int32)
+    c4_1 = c4_ref[0, 1].astype(jnp.int32)
+    c4_2 = c4_ref[0, 2].astype(jnp.int32)
+    c4_3 = c4_ref[0, 3].astype(jnp.int32)
 
     # ---- chunk-boundary band shift (d >= 0) with jump fill
     @pl.when(ci == 0)
@@ -159,7 +177,8 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     def _():
         bcur = band[:, :]
         lastcol = bcur[:, w2 - 1:w2]                    # [BR, 1]
-        d_all = dsh_ref[0, :, 0][:, None]               # [BR, 1]
+        d_all = jnp.sum(jnp.where(cell_sel, dsh_ref[:, :], 0),
+                        axis=1, keepdims=True)          # [BR, 1]
         # per-row left-shift by d via binary decomposition of d into
         # static shifts (mosaic has no multi-vreg lane gather); bits
         # >= w2 need no shift arm — every lane with iot + d >= w2 is
@@ -183,9 +202,13 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     def step(tt, carry):
         bcur, word = carry
         x = ci * t + tt
-        # per-step scalars stream step-major: one [BR, 1] dynamic read
-        s = seq_ref[0, tt, :, :]                        # [BR, 1]
-        lo = lob_ref[0, tt, :, :]                       # [BR, 1]
+        # per-step scalars: masked lane-reduce over the register-
+        # resident [BR, T] tiles
+        step_sel = lane_t == tt
+        s = jnp.sum(jnp.where(step_sel, seq_all, 0),
+                    axis=1, keepdims=True)              # [BR, 1]
+        lo = jnp.sum(jnp.where(step_sel, lob_all, 0),
+                     axis=1, keepdims=True)             # [BR, 1]
         inband = (lane_w2 >= lo) & (lane_w2 < lo + w)
         csel = jnp.where(
             s == 0, c4_0,
@@ -270,16 +293,16 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
-            bs((1, t, BR, 1), lambda bg, ci: (ci, 0, bg, 0)),  # seq
+            bs((BR, t), lambda bg, ci: (bg, ci)),             # seq
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gap
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ins
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ns
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # flags
             bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gy1
-            bs((1, BR, w2, 4), lambda bg, ci: (ci, bg, 0, 0)),  # c4
-            bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # dshift
-            bs((1, BR, 1), lambda bg, ci: (ci, bg, 0)),       # gtop
-            bs((1, t, BR, 1), lambda bg, ci: (ci, 0, bg, 0)),  # lob
+            bs((1, 4, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),  # c4
+            bs((BR, nc), lambda bg, ci: (bg, 0)),             # dshift
+            bs((BR, nc), lambda bg, ci: (bg, 0)),             # gtop
+            bs((BR, t), lambda bg, ci: (bg, ci)),             # lob
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
         out_specs=[
