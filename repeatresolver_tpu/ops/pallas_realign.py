@@ -1,18 +1,31 @@
 """Pallas TPU kernel for the staircase-band realignment fill.
 
 Produces bit-identical move codes to ops/staircase_realign.staircase_fill
-(tested, interpret mode on CPU). The division of labor:
+(tested, interpret mode on CPU; scripts/tpu_checks.py on silicon). The
+division of labor:
 
-  * XLA precompute (_windows): one gather pass building per-chunk cost
-    windows [B, NC, W2] — gap, insert, one-hot-corrected substitution
-    ingredients, gap-cost prefixes, band-shift amounts and jump offsets,
-    validity masks. This is where all dynamic indexing lives.
-  * Pallas kernel: grid (B/BR, NC); per grid step the chunk's windows
-    stream into VMEM via BlockSpecs, the band state lives in a VMEM
-    scratch that persists across the chunk dimension (TPU grids iterate
-    the last axis innermost), and the T inner steps are pure vector
-    ops: static shifts, a log-step prefix-min, and code emission. No
-    gathers, no HBM traffic beyond the streamed blocks.
+  * XLA precompute (_fields): full-width per-row cost planes (gap,
+    insert, substitution ingredients, gap-cost prefixes, flags) built
+    elementwise, then a COARSE block gather extracts each chunk's
+    window at BLK-element granularity only ([B, NC*W] streams, W =
+    (ceil(w2/BLK)+1)*BLK). TPU element gathers run at ~1 element/cycle
+    — a per-element vmap(take) window pass cost ~4x the DP kernel at
+    bench shapes; gathering BLK-rows is ~BLK x cheaper.
+  * Pallas kernel: grid (B/BR, NC); per grid step the chunk's
+    BLK-aligned streams arrive as native (BR, W) tiles via BlockSpecs
+    (auto double-buffered), an in-register lane shift by a % BLK
+    recovers the exact unaligned [a, a+w2) windows, the band state
+    lives in a VMEM scratch that persists across the chunk dimension
+    (TPU grids iterate the last axis innermost), and the T inner steps
+    are pure vector ops: static shifts, a log-step prefix-min, and
+    code emission.
+
+An in-kernel DMA design (HBM-resident fields, per-row strided copies)
+was tried first and is hardware-blocked: mosaic requires DMA lane
+offsets provably divisible by the 128-lane tile, and per-row
+destinations in a shared (BR, ...) scratch are sublane slices, which
+must be 8-aligned — per-row window extraction cannot be expressed as
+DMAs without per-row 1-sublane staging buffers and strided reloads.
 """
 from __future__ import annotations
 
@@ -21,7 +34,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,9 +48,28 @@ from .banded_realign import BIG, _row_costs
 BR = int(os.environ.get("RR_PALLAS_BR", "8"))
 
 
-def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
-             widen=1):
-    """Per-chunk window tensors (XLA side)."""
+# Coarse-gather granularity: window streams are extracted from the
+# full-width cost fields in BLK-element rows (a 256x cheaper gather
+# than per-element vmap(take) — TPU gathers run at ~1 element/cycle,
+# and the element-gather pass alone cost ~4x the DP kernel at bench
+# shapes). The sub-BLK remainder (a % BLK) is fixed up in-kernel by a
+# register lane shift. Must be a multiple of 128 (lane tile).
+BLK = int(os.environ.get("RR_PALLAS_BLK", "256"))
+
+
+def _fields(counts, rows_old, seqs, ways, lengths, ncols, w, t,
+            widen=1):
+    """Per-chunk window streams in BLK-aligned coordinates (XLA side).
+
+    Each field is [B, NC*W] with W = (ceil(w2/BLK)+1)*BLK: chunk ci's
+    lanes [ci*W, (ci+1)*W) hold field[(a//BLK)*BLK : ... + W] — a
+    block-row gather (dynamic indexing at BLK granularity only). The
+    kernel streams native (BR, W) tiles and left-shifts by a % BLK in
+    registers to recover the exact unaligned [a, a+w2) window.
+
+    Counts-bounded fields travel as int16 (row count < 32768 —
+    asserted by the caller; the reference caps MSAs at 18000 rows,
+    PW_ReAligner.c:17); the validity bits ride the own-symbol plane."""
     w2 = w + widen * t
     bh = w // 2
     b, c = rows_old.shape
@@ -50,56 +81,44 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
         ways = jnp.pad(ways, ((0, 0), (0, lpad - l)), mode="edge")
 
     ns, gapcost, inscost, g = _row_costs(counts, rows_old)
-    own = rows_old.astype(jnp.int32)
-    pad = w2 + 1
-    # counts-bounded tensors stream as int16 (row count < 32768 —
-    # asserted by the caller; the reference caps MSAs at 18000 rows,
-    # PW_ReAligner.c:17); flag bits ride the own-symbol byte. Halves
-    # the window streaming traffic vs all-int32.
-    gapp = jnp.pad(gapcost.astype(jnp.int16), ((0, 0), (0, pad)))
-    insp = jnp.pad(inscost.astype(jnp.int16), ((0, 0), (0, pad)))
-    nsp = jnp.pad(ns.astype(jnp.int16), ((0, 0), (0, pad)))
-    gp = jnp.pad(g, ((0, 0), (0, pad)), mode="edge")
-    ownp = jnp.pad(own, ((0, 0), (0, pad)), constant_values=5)
-    counts4 = jnp.pad(counts.astype(jnp.int16)[:, 0:4],
-                      ((0, pad), (0, 0)))
+    nb = -(-w2 // BLK) + 1
+    wv = nb * BLK
+    cp = (-(-(c + 1) // BLK) + nb) * BLK
+    pad = cp - c
 
     a_chunks = jnp.maximum(0, ways - bh)[:, ::t][:, :nchunks]  # [B, NC]
-    ys = a_chunks[:, :, None] + jnp.arange(w2)[None, None, :]  # [B,NC,W2]
+    idx3 = ((a_chunks // BLK)[:, :, None]
+            + jnp.arange(nb, dtype=jnp.int32)[None, None, :])
 
-    def gat(arr):
-        return jax.vmap(jnp.take)(arr, ys)
+    def bwin(f):
+        # [B, CP] -> [B, NC*W]: gather BLK-element rows
+        fb = f.reshape(b, cp // BLK, BLK)
+        return jax.vmap(
+            lambda fr, ix: jnp.take(fr, ix, axis=0))(fb, idx3).reshape(
+            b, nchunks * wv)
 
-    gap_w = gat(gapp)                                          # [B,NC,W2]
-    ins_w = gat(insp)
-    ns_w = gat(nsp)
-    own_w = gat(ownp)
-    gy1_w = jax.vmap(jnp.take)(gp, ys + 1)
-    # per-symbol count planes as four full-lane streams [B,4,NC,W2]:
-    # a packed [..., 4] minor dim would tile 4-in-128-lanes on TPU
-    # (32x VMEM padding + slow loads — measured 5x on the whole
-    # kernel); planar delivery keeps every stream in native layout
-    c4_w = jnp.stack(
-        [jax.vmap(jnp.take)(
-            jnp.broadcast_to(counts4[:, k], (b, counts4.shape[0])), ys)
-         for k in range(4)], axis=1)
+    # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int16 plane
+    ycol = jnp.arange(cp, dtype=jnp.int32)
+    vb = ((ycol < ncols).astype(jnp.int16) << 3
+          | (((ycol > 0) & (ycol < ncols - 1)).astype(jnp.int16) << 4))
+    flags = (jnp.pad(rows_old.astype(jnp.int16), ((0, 0), (0, pad)),
+                     constant_values=5) | vb[None, :])
+    c4 = jnp.pad(counts.astype(jnp.int16)[:, 0:4].T,
+                 ((0, 0), (0, pad)))                   # [4, CP]
+    c4b = jnp.broadcast_to(c4[:, None, :], (4, b, cp))
 
-    prev_a = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), a_chunks[:, :-1]], axis=1)
-    dshift = jnp.clip(a_chunks - prev_a, 0, w2 + 1)            # [B, NC]
-    gtop = jax.vmap(jnp.take)(gp, prev_a + w2)                 # [B, NC]
+    fields = dict(
+        gap=bwin(jnp.pad(gapcost.astype(jnp.int16), ((0, 0), (0, pad)))),
+        ins=bwin(jnp.pad(inscost.astype(jnp.int16), ((0, 0), (0, pad)))),
+        ns=bwin(jnp.pad(ns.astype(jnp.int16), ((0, 0), (0, pad)))),
+        flags=bwin(flags),
+        gy1=bwin(jnp.pad(g, ((0, 0), (0, pad - 1)), mode="edge")),
+        c40=bwin(c4b[0]), c41=bwin(c4b[1]),
+        c42=bwin(c4b[2]), c43=bwin(c4b[3]),
+    )
 
-    validc = ys < ncols
-    ok_ins = (ys > 0) & (ys < ncols - 1)
-    # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int8 stream
-    flags = (own_w | (validc.astype(jnp.int32) << 3)
-             | (ok_ins.astype(jnp.int32) << 4)).astype(jnp.int8)
-    # Per-step scalars in sequence-native [B, Lpad] layout — each grid
-    # cell streams its (BR, T) tile and the kernel reads one [BR, 1]
-    # dynamic lane slice per step. The old [NC, T, B, 1] step-major
-    # layout had a minor dim of 1 (128x tile padding): XLA inserted a
-    # relayout copy between the producer and the Pallas custom call
-    # costing more than the kernel itself.
+    # per-step scalars in sequence-native [B, Lpad] tiles (a minor dim
+    # of 1 in the old step-major layout forced 128x-padded relayouts)
     seq_c = seqs.astype(jnp.int32)
     # per-position reference band start in window-lane space (see
     # staircase_realign: candidates outside [way-bh, way-bh+w) must be
@@ -107,17 +126,10 @@ def _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
     lob = (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
            - a_chunks[:, :, None]).astype(jnp.int32).reshape(b, lpad)
 
-    def nc_major(x):             # [B, NC, ...] -> [NC, B, ...]
-        return jnp.swapaxes(x, 0, 1)
-
-    return dict(gap=nc_major(gap_w), ins=nc_major(ins_w),
-                ns=nc_major(ns_w), flags=nc_major(flags),
-                gy1=nc_major(gy1_w),
-                c4=jnp.transpose(c4_w, (2, 1, 0, 3)),  # [NC,4,B,W2]
-                dshift=dshift, gtop=gtop, seq=seq_c, lob=lob,
-                a=a_chunks,
+    return dict(fields=fields, aint=a_chunks.astype(jnp.int32),
+                seq=seq_c, lob=lob,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
-                nchunks=nchunks, w2=w2, lpad=lpad)
+                nchunks=nchunks, w2=w2, wv=wv, lpad=lpad, a=a_chunks)
 
 
 def _prefix_min(v, width):
@@ -132,41 +144,66 @@ def _prefix_min(v, width):
     return v
 
 
-def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
-            gy1_ref, c4_ref, dsh_ref, gtop_ref, lob_ref, len_ref,
-            codes_ref, bandout_ref, band):
+def _lshift(x, amt, fill, max_amt=128):
+    """Per-row dynamic left lane-shift by amt in [0, max_amt] via
+    binary decomposition into static shifts (mosaic has no multi-vreg
+    lane gather; this is the same trick the band shift uses)."""
+    br = x.shape[0]
+    k = 1
+    while k <= max_amt:
+        sh = jnp.concatenate(
+            [x[:, k:], jnp.full((br, k), fill, x.dtype)], axis=1)
+        x = jnp.where((amt & k) != 0, sh, x)
+        k *= 2
+    return x
+
+
+def _kernel(w, packed, gap_ref, ins_ref, ns_ref, flags_ref, gy1_ref,
+            c40_ref, c41_ref, c42_ref, c43_ref, aint_ref, seq_ref,
+            lob_ref, len_ref, codes_ref, bandout_ref, band, gtop_c):
     ci = pl.program_id(1)
     t = seq_ref.shape[1]
-    w2 = gap_ref.shape[2]
+    w2 = band.shape[1]
 
-    gap_w = gap_ref[0].astype(jnp.int32)                # [BR, W2]
-    ins_w = ins_ref[0].astype(jnp.int32)
-    ns_w = ns_ref[0].astype(jnp.int32)
-    flags = flags_ref[0].astype(jnp.int32)
-    own_w = flags & 7
-    valid = (flags & 8) != 0
-    ok_ins = (flags & 16) != 0
-    gy1_w = gy1_ref[0]
-    # per-cell/per-step scalars live in [BR, NC] / [BR, T] tiles (one
-    # or two vregs); dynamic lane slices are not lowerable on TPU, so
-    # extraction is a masked lane-reduce — a few vector ops per read
-    nc_n = dsh_ref.shape[1]
-    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (BR, nc_n), 1)
-    cell_sel = lane_nc == ci
-    gtop_c = jnp.sum(jnp.where(cell_sel, gtop_ref[:, :], 0),
-                     axis=1, keepdims=True)             # [BR, 1]
-    jadd = gy1_w - gtop_c                               # [BR, W2]
     lengths = len_ref[:, 0]
     seq_all = seq_ref[:, :]                             # [BR, T]
     lob_all = lob_ref[:, :]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
-    # hoisted once per grid cell: the 4 per-symbol count planes arrive
-    # as native-layout [1, 4, BR, W2] streams (a packed [..., 4] minor
-    # dim tiles 4-in-128-lanes — 32x padding, 5x slower kernel)
-    c4_0 = c4_ref[0, 0].astype(jnp.int32)
-    c4_1 = c4_ref[0, 1].astype(jnp.int32)
-    c4_2 = c4_ref[0, 2].astype(jnp.int32)
-    c4_3 = c4_ref[0, 3].astype(jnp.int32)
+    # per-row unaligned window start for this and the previous chunk,
+    # via masked lane-reduce over the register-resident [BR, NC] tile
+    nc = aint_ref.shape[1]
+    lane_nc = jax.lax.broadcasted_iota(jnp.int32, (BR, nc), 1)
+    aint = aint_ref[:, :]
+    a_cur = jnp.sum(jnp.where(lane_nc == ci, aint, 0),
+                    axis=1, keepdims=True)              # [BR, 1]
+    a_prev = jnp.sum(jnp.where(lane_nc == ci - 1, aint, 0),
+                     axis=1, keepdims=True)
+    s_all = a_cur & (BLK - 1)                           # [BR, 1]
+
+    def unal(ref, fill):
+        # recover the exact unaligned [a, a + W2) window from the
+        # BLK-aligned stream: shift left by a % BLK in int16 (half the
+        # vregs of int32), keep the first W2 lanes — intact for any
+        # s < BLK since W >= W2 + BLK
+        x = _lshift(ref[:, :], s_all, fill, max_amt=BLK - 1)
+        return x[:, :w2].astype(jnp.int32)
+
+    gap_w = unal(gap_ref, 0)                            # [BR, W2]
+    ins_w = unal(ins_ref, 0)
+    ns_w = unal(ns_ref, 0)
+    flags = unal(flags_ref, 5)
+    own_w = flags & 7
+    valid = (flags & 8) != 0
+    ok_ins = (flags & 16) != 0
+    c4_0 = unal(c40_ref, 0)
+    c4_1 = unal(c41_ref, 0)
+    c4_2 = unal(c42_ref, 0)
+    c4_3 = unal(c43_ref, 0)
+    # gy1[j] = g[a + 1 + j]: the aligned int32 stream shifted by s + 1
+    # in one dynamic pass (a static offset-1 slice afterwards would
+    # leave a lane-offset vpad that downstream concats reject)
+    gy1_w = _lshift(gy1_ref[:, :], s_all + 1, 0,
+                    max_amt=BLK)[:, :w2]
 
     # ---- chunk-boundary band shift (d >= 0) with jump fill
     @pl.when(ci == 0)
@@ -177,13 +214,16 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
     def _():
         bcur = band[:, :]
         lastcol = bcur[:, w2 - 1:w2]                    # [BR, 1]
-        d_all = jnp.sum(jnp.where(cell_sel, dsh_ref[:, :], 0),
-                        axis=1, keepdims=True)          # [BR, 1]
+        # per-row window shift (clip as the old host-side dshift did:
+        # bits >= w2 never matter — those lanes are jump-filled
+        # regardless)
+        d_all = jnp.clip(a_cur - a_prev, 0, w2 + 1)     # [BR, 1]
+        # gtop carry: gp[a_prev + w2] is the last element of the
+        # PREVIOUS chunk's gy1 window, saved below at every cell
+        jadd = gy1_w - gtop_c[:, :]                     # [BR, W2]
         # per-row left-shift by d via binary decomposition of d into
-        # static shifts (mosaic has no multi-vreg lane gather); bits
-        # >= w2 need no shift arm — every lane with iot + d >= w2 is
-        # jump-filled below regardless (and k == w2 would slice a
-        # zero-width vector, which mosaic rejects)
+        # static shifts; bits >= w2 need no shift arm — every lane
+        # with iot + d >= w2 is jump-filled below regardless
         shifted = bcur
         k = 1
         while k < w2:
@@ -195,6 +235,8 @@ def _kernel(w, packed, seq_ref, gap_ref, ins_ref, ns_ref, flags_ref,
         iot = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
         jump = lastcol + jadd
         band[:, :] = jnp.where(iot + d_all >= w2, jump, shifted)
+
+    gtop_c[:, :] = gy1_w[:, w2 - 1:w2]
 
     lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
     big_col = jnp.full((BR, 1), BIG, jnp.int32)
@@ -279,29 +321,27 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     l = seqs.shape[1]
     assert b % BR == 0, f"block rows must be a multiple of {BR}"
     assert not packed or (time_major and t % 16 == 0)
-    wd = _windows(counts, rows_old, seqs, ways, lengths, ncols, w, t,
-                  widen=widen)
+    wd = _fields(counts, rows_old, seqs, ways, lengths, ncols, w, t,
+                 widen=widen)
     nc = wd["nchunks"]
     w2 = wd["w2"]
+    wv = wd["wv"]
+    f = wd["fields"]
 
     def bs(shape, index):
         return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
 
+    win = bs((BR, wv), lambda bg, ci: (bg, ci))
     tc = t // 16 if packed else t
     grid = (b // BR, nc)
     codes, band_out = pl.pallas_call(
         functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
+            win, win, win, win, win,                 # gap ins ns fl gy1
+            win, win, win, win,                      # c40..c43
+            bs((BR, nc), lambda bg, ci: (bg, 0)),             # aint
             bs((BR, t), lambda bg, ci: (bg, ci)),             # seq
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gap
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ins
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # ns
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # flags
-            bs((1, BR, w2), lambda bg, ci: (ci, bg, 0)),      # gy1
-            bs((1, 4, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),  # c4
-            bs((BR, nc), lambda bg, ci: (bg, 0)),             # dshift
-            bs((BR, nc), lambda bg, ci: (bg, 0)),             # gtop
             bs((BR, t), lambda bg, ci: (bg, ci)),             # lob
             bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
         ],
@@ -316,6 +356,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         ],
         scratch_shapes=[
             pltpu.VMEM((BR, w2), jnp.int32),            # band state
+            pltpu.VMEM((BR, 1), jnp.int32),             # gtop carry
         ],
         # paper shapes (band 1000, widen 4 -> w2 1512, chunk 128)
         # need ~35 MB of scoped VMEM — past XLA's 16 MB default;
@@ -323,9 +364,9 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(wd["seq"], wd["gap"], wd["ins"], wd["ns"], wd["flags"],
-      wd["gy1"], wd["c4"], wd["dshift"], wd["gtop"], wd["lob"],
-      wd["lengths"])
+    )(f["gap"], f["ins"], f["ns"], f["flags"], f["gy1"],
+      f["c40"], f["c41"], f["c42"], f["c43"],
+      wd["aint"], wd["seq"], wd["lob"], wd["lengths"])
 
     if time_major:
         codes = codes.reshape(nc * tc, b, w2)
