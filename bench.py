@@ -349,7 +349,11 @@ def _subprocess_probes():
     try:
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
-                             timeout=560)
+                             timeout=1500)
+        if "RTT" not in res.stdout:
+            sys.stderr.write("probe subprocess produced no RTT; "
+                             "stderr tail:\n"
+                             + res.stderr[-2000:] + "\n")
         for line in res.stdout.splitlines():
             parts = line.split()
             if not parts:

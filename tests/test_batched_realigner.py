@@ -300,3 +300,55 @@ def test_anneal_polishes_to_serial_quality():
     # returned MSA is the best one
     eng = realigner.RealignEngine(out, bandwidth=96)
     assert realigner.overall_score_pair(eng.counts) == min(log_ann)
+
+
+def test_backtrack_word_patch_unroll_parity():
+    """The packed word-patch trip body (banded_realign.body_packed)
+    must emit bit-identical outputs to the generic UxU-patch body for
+    any unroll, including stall-heavy tiny unrolls."""
+    import jax
+
+    from repeatresolver_tpu.ops import banded_realign as br
+    from repeatresolver_tpu.ops import pallas_realign as pr
+    from repeatresolver_tpu.ops import staircase_realign as sr
+
+    rng = np.random.default_rng(5)
+    b, tlen, c, w, t = 8, 256, 512, 64, 32
+    msa = rng.integers(0, 4, (b, c)).astype(np.int8)
+    counts = np.zeros((c, 6), np.int32)
+    for s in range(6):
+        counts[:, s] = (msa == s).sum(axis=0)
+    counts[:, 0] += 10
+    seqs = rng.integers(0, 4, (b, tlen)).astype(np.int8)
+    ways = np.sort(rng.choice(c, (b, tlen)), axis=1).astype(np.int32)
+    lengths = rng.integers(tlen // 2, tlen + 1, b).astype(np.int32)
+    for i in range(b):
+        ways[i, lengths[i]:] = ways[i, lengths[i] - 1]
+
+    ck, bk, ak = pr.staircase_fill_pallas(
+        counts, msa, seqs, ways, lengths, np.int32(c), bandwidth=w,
+        chunk=t, interpret=True, time_major=True, packed=True)
+    cx, bx, ax = sr.staircase_fill(
+        counts, msa, seqs, ways, lengths, np.int32(c), bandwidth=w,
+        chunk=t)
+    np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+
+    w2 = w + t
+    anf_full = sr.staircase_anf(ways, lengths, w, t, c)
+    bh = w // 2
+    last_way = ways[np.arange(b), np.maximum(lengths - 1, 0)]
+    entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+    cpad = c + 64
+
+    def run(codes, tm, pk, u):
+        return [np.asarray(o) for o in br.entry_and_backtrack(
+            codes, bk, ak, seqs, anf_full, entry_bound, lengths,
+            np.int32(c), cpad=cpad, bandwidth=w2, time_major=tm,
+            packed=pk, unroll=u)]
+
+    ref = run(cx, False, False, 1)          # generic body, plain loop
+    for u in (1, 2, 8, 32, 48):             # word-patch body
+        got = run(ck, True, True, u)
+        for r, g, name in zip(ref, got,
+                              ("rows", "best", "iy", "ib", "inn")):
+            np.testing.assert_array_equal(r, g, err_msg=f"u={u} {name}")
