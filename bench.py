@@ -121,7 +121,8 @@ def measure(backend=None, variant="fill"):
             return out[1][0, 0]
     elif variant == "pallas_fused":
         # the production TPU step: time-major Pallas staircase fill
-        # (no codes transpose) + device entry/backtrack
+        # (no codes transpose) + the Pallas walk-kernel backtrack
+        from repeatresolver_tpu.ops import pallas_backtrack as pb
         from repeatresolver_tpu.ops import pallas_realign as pr
         from repeatresolver_tpu.ops import staircase_realign as sr
         t = 128
@@ -136,10 +137,10 @@ def measure(backend=None, variant="fill"):
             codes, fband, fanf = pr.staircase_fill_pallas(
                 cn, *args[1:], np.int32(c), bandwidth=w, chunk=t,
                 interpret=on_cpu, time_major=True, packed=True)
-            new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+            new_rows, best, iy, ib, inn = pb.entry_and_backtrack_pallas(
                 codes, fband, fanf, args[2], anf_d, eb_d, args[4],
-                np.int32(c), cpad=c, bandwidth=w + t,
-                time_major=True, packed=True)
+                np.int32(c), cpad=c, bandwidth=w + t, chunk=t,
+                interpret=on_cpu)
             return new_rows[0, 0].astype(jnp.int32)
     elif variant == "fused":
         bh = w // 2

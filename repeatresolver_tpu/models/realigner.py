@@ -801,10 +801,25 @@ class BatchedRealigner:
         last_way = ways[np.arange(len(lengths)),
                         np.maximum(lengths - 1, 0)]
         entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
-        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
-            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
-            np.int32(c), cpad=cpad, bandwidth=w_codes,
-            time_major=time_major, packed=packed)
+        if packed:
+            # production TPU backtrack: the Pallas walk kernel over the
+            # packed time-major codes (ops/pallas_backtrack.py) — the
+            # XLA record/replay loop it replaces cost ~1.6x the DP
+            # fill and its while_loop deadlocks XLA:CPU under jaxlib
+            # 0.9.0
+            import jax
+
+            from ..ops import pallas_backtrack as pb
+            new_rows, best, iy, ib, inn = pb.entry_and_backtrack_pallas(
+                codes, fband, fanf, seqs, anf_full, entry_bound,
+                lengths, np.int32(c), cpad=cpad, bandwidth=w_codes,
+                chunk=self.chunk,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+                codes, fband, fanf, seqs, anf_full, entry_bound,
+                lengths, np.int32(c), cpad=cpad, bandwidth=w_codes,
+                time_major=time_major)
         new_rows = np.asarray(new_rows)[:bs, :c]
         iy = np.asarray(iy)[:bs]
         ib = np.asarray(ib)[:bs]

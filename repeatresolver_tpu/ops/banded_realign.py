@@ -16,8 +16,11 @@ their bandwidth-W window in parallel on the VPU:
 Off-band-above reads of the previous row pay the per-column gap cost
 (the reference's MatrixOut jump rule, :285-295) via the gap-cost prefix
 sums G. Move codes carry the backtracker's priority (gap > diagonal >
-insert, :1375-1410); the backtrack itself runs on device as a lockstep
-while_loop so only the rewritten rows and insert lists leave the chip.
+insert, :1375-1410); the backtrack runs on device — here as a lockstep
+while_loop over unpacked codes (the exact-band / XLA-staircase paths),
+on the production TPU path as the Pallas walk kernel over packed codes
+(ops/pallas_backtrack.py) — so only the rewritten rows and insert
+lists leave the chip.
 """
 from __future__ import annotations
 
@@ -204,49 +207,32 @@ def banded_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
     return (jnp.transpose(codes, (1, 0, 2)), final_band, final_anf)
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth", "cpad",
-                                              "time_major", "packed",
-                                              "unroll"))
-def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
-                        entry_bound, lengths, ncols, *, cpad,
-                        bandwidth, time_major=False, packed=False,
-                        unroll=None):
-    """Entry-column scan + lockstep backtracking on device.
-
-    anf_full: int32 [B, L] band start per sequence position (reference
-    mode: max(0, way-bh); staircase mode: the per-chunk window starts).
-    entry_bound: int32 [B] lowest-exclusive column of the entry scan
-    (reference: max(-1, way[len-1]-bh)). ncols is the real (dynamic)
-    column count; cpad the static padded capacity. bandwidth is the
-    width of the code rows (W, or W+chunk for staircase).
-    time_major: codes laid out [Lc, B, W] (the Pallas kernel's native
-    emission order — consuming it directly saves a [B, L, W]-sized HBM
-    transpose per block); default is [B, Lc, W]. Lc may exceed L
-    (chunk padding); reads are bounded by lengths <= L.
-    unroll: moves resolved per while_loop trip. Every move consumes at
-    least one of x or y, so the positions the next U moves can visit
-    all lie in the U x U patch [x-U+1, x] x [y-U+1, y]; the patch's
-    codes/anf/seq values are fetched in ONE gather each per trip, the
-    U moves resolve in registers (one-hot selects over the patch), and
-    the row/insert writes land as ONE batched drop-masked scatter each.
-    Bit-equal to the single-move loop for any U (tested); U=1 is the
-    plain loop. Cuts the trip count — the serial bottleneck of the
-    fused device step (r2 VERDICT weak #5) — by ~U.
-    Returns (new_rows int8 [B, cpad] with 4/base placements (5
-    default), best int32 [B], ins_y int32 [B, K], ins_base int8 [B, K],
-    ins_n int32 [B])."""
+def entry_scan(final_band, final_anf, entry_bound, ncols, *, cpad,
+               bandwidth):
+    """Entry-column scan over M[L-1, y] for y in (bound, ncols-1]
+    (PW_ReAligner.c:1353-1360): returns (wayin, best) per row, ties
+    resolved to the largest y, best initialized at y = C-1 regardless
+    of the bound (reference semantics)."""
     w = bandwidth
-    b = seqs.shape[0]
-    l = seqs.shape[1]
-
-    # ---- entry scan over M[L-1, y] for y in (bound, ncols-1]
+    b = final_band.shape[0]
     ycols = jnp.arange(cpad, dtype=jnp.int32)[None, :]
     j = ycols - final_anf[:, None]
-    inband = (j >= 0) & (j < w)
-    vals = jnp.take_along_axis(final_band,
-                               jnp.clip(j, 0, w - 1), axis=1)
+    # vals[y] = band[y - anf]: place the band at lanes [anf, anf+w) by
+    # a per-row binary-decomposed right-shift — a take_along_axis
+    # gather here runs at ~1 element/cycle on TPU (tens of ms at paper
+    # cpad); the log-step shift is pure vector selects
+    vals = jnp.concatenate(
+        [final_band.astype(jnp.int32),
+         jnp.full((b, max(cpad - w, 0)), BIG, jnp.int32)],
+        axis=1)[:, :cpad]
+    k = 1
+    while k < cpad:
+        sh = jnp.concatenate(
+            [jnp.full((b, k), BIG, jnp.int32), vals[:, :-k]], axis=1)
+        vals = jnp.where((final_anf[:, None] & k) != 0, sh, vals)
+        k *= 2
     flat = final_band[:, w - 1:w]
-    vals = jnp.where(inband, vals, jnp.where(j >= w, flat, BIG))
+    vals = jnp.where(j >= w, flat, vals)
     vals = jnp.where(ycols < ncols, vals, BIG)
     scan_ok = (ycols > entry_bound[:, None]) & (ycols < ncols)
     scan_vals = jnp.where(scan_ok, vals, BIG)
@@ -255,31 +241,61 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     rev = scan_vals[:, ::-1]                 # ties -> largest y
     wayin = (cpad - 1 - jnp.argmin(rev, axis=1)).astype(jnp.int32)
     best = jnp.take_along_axis(scan_vals, wayin[:, None], axis=1)[:, 0]
+    return wayin, best
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "cpad",
+                                              "time_major", "unroll"))
+def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
+                        entry_bound, lengths, ncols, *, cpad,
+                        bandwidth, time_major=False, unroll=None):
+    """Entry-column scan + lockstep backtracking on device.
+
+    This is the XLA walk over UNPACKED move codes — the exact-band and
+    XLA-staircase fallback paths. The production TPU path (packed
+    time-major Pallas codes) backtracks through the Pallas walk kernel
+    instead (ops/pallas_backtrack.py), which replaced the packed
+    record/replay loop that used to live here: that loop cost ~1.6x
+    the DP fill and its carried-DUS while_loop deadlocks XLA:CPU under
+    jaxlib 0.9.0.
+
+    anf_full: int32 [B, L] band start per sequence position (reference
+    mode: max(0, way-bh); staircase mode: the per-chunk window starts).
+    entry_bound: int32 [B] lowest-exclusive column of the entry scan
+    (reference: max(-1, way[len-1]-bh)). ncols is the real (dynamic)
+    column count; cpad the static padded capacity. bandwidth is the
+    width of the code rows (W, or W+chunk for staircase).
+    time_major: codes laid out [Lc, B, W] instead of [B, Lc, W]. Lc
+    may exceed L (chunk padding); reads are bounded by lengths <= L.
+    unroll: moves resolved per while_loop trip. Every move consumes at
+    least one of x or y, so the positions the next U moves can visit
+    all lie in the U x U patch [x-U+1, x] x [y-U+1, y]; the patch's
+    codes/anf/seq values are fetched in ONE gather each per trip, the
+    U moves resolve in registers (one-hot selects over the patch), and
+    the row/insert writes land as ONE batched drop-masked scatter each.
+    Bit-equal to the single-move loop for any U (tested); U=1 is the
+    plain loop. 8 is the measured sweet spot (patches are U x U lanes,
+    quadratic gather volume).
+    Returns (new_rows int8 [B, cpad] with 4/base placements (5
+    default), best int32 [B], ins_y int32 [B, K], ins_base int8 [B, K],
+    ins_n int32 [B])."""
+    w = bandwidth
+    b = seqs.shape[0]
+    l = seqs.shape[1]
+
+    wayin, best = entry_scan(final_band, final_anf, entry_bound,
+                             ncols, cpad=cpad, bandwidth=w)
 
     seqs8 = seqs.astype(jnp.int8)
     bidx = jnp.arange(b)
-    # packed trips cover a full 16-x word row plus gap slack, so the
-    # patch is worth more sub-steps; unpacked patches are U x U lanes
-    # (quadratic gather volume), where 8 is the measured sweet spot
-    u = int(unroll) if unroll is not None else (32 if packed else 8)
+    u = int(unroll) if unroll is not None else 8
     au = jnp.arange(u, dtype=jnp.int32)
-    a16 = jnp.arange(16, dtype=jnp.int32)
 
     # patch code reads: [B, U(x), U(y)] worth of 2-bit codes in one
     # gather from a flat view (three-vector indexing would need a
     # gather per sub-step; the flat index fits int32 at paper shapes —
     # guarded below)
-    if packed:
-        assert time_major
-        # packed codes: 16 two-bit moves per int32 word, step-major
-        # within the word (pallas_realign packed layout)
-        l16, _, wc = codes.shape
-        assert l16 * b * wc < (1 << 31), "packed codes exceed int32 flat"
-        codes_flat = codes.reshape(-1)
-        return _backtrack_packed(
-            codes_flat, wc, seqs8, anf_full, lengths, wayin, best,
-            cpad=cpad, w=w, l=l, u=u)
-    elif time_major:
+    if time_major:
         lc, _, wc = codes.shape
         assert lc * b * wc < (1 << 31), "codes exceed int32 flat index"
         codes_flat = codes.reshape(-1)
@@ -307,8 +323,7 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
 
     def emit(x, y, inn, active, above, code, sx, is_last,
              w_cols, w_syms, i_slots, i_ys, i_bs):
-        """One move's decision + write staging (shared by both trip
-        bodies; bit-identical semantics)."""
+        """One move's decision + write staging."""
         gap_move = active & (above | (code == 0))
         diag_move = active & ~above & (code == 1)
         ins_move = active & ~above & (code == 2)
@@ -383,183 +398,4 @@ def entry_and_backtrack(codes, final_band, final_anf, seqs, anf_full,
     inn0 = jnp.zeros((b,), jnp.int32)
     state = (lengths - 1, wayin, out0, iy0, ib0, inn0, jnp.int32(0))
     x, y, out, iy, ib, inn, _ = jax.lax.while_loop(cond, body, state)
-    return out, best, iy, ib, inn
-
-
-def _backtrack_packed(codes_flat, wc, seqs8, anf_full, lengths, wayin,
-                      best, *, cpad, w, l, u):
-    """Record-and-replay backtrack for the packed time-major layout.
-
-    The naive lockstep loop scattered each trip's writes into the
-    [B, cpad] row buffer and the [B, MAX_INSERTS] insert buffers —
-    XLA:TPU lowers every such scatter as a full-operand round trip
-    through scoped VMEM, ~240 us/trip at paper shapes (traced), which
-    made the backtrack 3x the cost of the DP fill. The loop now stays
-    compact: per trip it resolves up to U moves against a word-strip
-    patch and appends ONE packed record (2 bits per move) with a
-    dynamic_update_slice — no large operands in the carry. A chunked
-    vectorized replay then reconstructs the outputs from the records:
-    positions by two-level cumsums, the diag/insert writes by a few
-    large scatters (once per chunk instead of per trip), and the gap
-    4s by a dense range fill (every column in (y_final, y_hi] is
-    visited exactly once, so gaps are "filled range minus diag cells").
-
-    Word-strip patch: one int32 word of the packed layout holds the 16
-    consecutive x-codes of a word row at ONE lane, so a [B, U] strip of
-    words covers a 16 x U (x, y) patch — one gathered element per
-    x-transition instead of U lanes per x. Moves that leave the patch
-    (word-row crossing, > U-1 net y-drop) stall to the next trip; the
-    resolved move sequence per row is bit-identical to the generic
-    body (tested against unroll=1 on the unpacked path).
-
-    Move encoding per sub-step: 0 gap, 1 diag, 2 insert, 3 no-op
-    (stall / finished row / trip slack)."""
-    b = seqs8.shape[0]
-    bidx = jnp.arange(b)
-    au = jnp.arange(u, dtype=jnp.int32)
-    a16 = jnp.arange(16, dtype=jnp.int32)
-    wpt = -(-u // 16)                 # record words per trip
-    tmax = cpad + l + w + 8           # trips <= moves <= this bound
-
-    def cond(state):
-        x, y, it, rec, pending = state
-        return jnp.any((x > -1) & (y > -1)) & (it < tmax)
-
-    def body(state):
-        x0, y0, it, rec, pending = state
-        # the PREVIOUS trip's record lands here, one trip late: a
-        # carried tensor is the only fusion-proof DUS input — fed
-        # directly, XLA:CPU fuses the whole unrolled sub-step chain
-        # into the update kernel and LLVM takes minutes on it
-        # (opt-barriers are stripped before fusion on CPU)
-        rec = jax.lax.dynamic_update_slice(
-            rec, pending[None], (jnp.maximum(it - 1, 0), 0, 0))
-        xs_top = jnp.maximum(x0, 0)                            # [B]
-        xw = xs_top >> 4                                       # [B]
-        # anf is per-chunk constant in the staircase layout (the only
-        # producer of packed codes) and a word row never straddles a
-        # chunk (chunk % 16 == 0), so one gathered value covers every
-        # in-word sub-step; crossed rows stall and never read it
-        xs16 = (xw[:, None] << 4) + a16[None, :]               # [B,16]
-        anf16 = jnp.take_along_axis(
-            anf_full, jnp.minimum(xs16, l - 1), axis=1)
-        anf_top = jnp.where(a16[None, :] == (xs_top & 15)[:, None],
-                            anf16, 0).sum(axis=1)
-        off_top = jnp.clip(y0 - anf_top, 0, w - 1)
-        lane0 = off_top - (u - 1)                              # [B]
-        lanes = jnp.clip(lane0[:, None] + au[None, :], 0, w - 1)
-        words = jnp.take(codes_flat,
-                         xw[:, None] * (b * wc)
-                         + bidx[:, None] * wc + lanes)         # [B,U]
-
-        x, y = x0, y0
-        mwords = [jnp.zeros((b,), jnp.int32) for _ in range(wpt)]
-        for k in range(u):
-            active = (x > -1) & (y > -1)
-            xc = jnp.maximum(x, 0)
-            xi = xc & 15
-            off = jnp.clip(y - anf_top, 0, w - 1)
-            lane_rel = off - lane0
-            in_word = (xc >> 4) == xw
-            in_patch = (lane_rel >= 0) & (lane_rel < u) & in_word
-            selv = au[None, :] == jnp.clip(lane_rel, 0,
-                                           u - 1)[:, None]
-            word = jnp.where(selv, words, 0).sum(axis=1)
-            code = (word >> (xi * 2)) & 3
-            above = y > anf_top + w - 1
-            # above-region gap moves never read a code, but anf_top is
-            # only valid while x is still in the word — a crossed row
-            # stalls entirely until the next trip re-centers
-            act = active & ((above & in_word) | in_patch)
-            gap_move = act & (above | (code == 0))
-            diag_move = act & ~above & (code == 1)
-            ins_move = act & ~above & (code == 2)
-            m = jnp.where(gap_move, 0,
-                          jnp.where(diag_move, 1,
-                                    jnp.where(ins_move, 2, 3)))
-            mwords[k >> 4] = mwords[k >> 4] | (m << (2 * (k & 15)))
-            y = y - (gap_move | diag_move).astype(jnp.int32)
-            x = x - (diag_move | ins_move).astype(jnp.int32)
-
-        return (x, y, it + 1, rec, jnp.stack(mwords, axis=1))
-
-    # no-op records (all 3s) so slack trips replay as nothing
-    rec0 = jnp.full((tmax, b, wpt), -1, jnp.int32)
-    pend0 = jnp.full((b, wpt), -1, jnp.int32)
-    x_fin, y_fin, it_fin, rec, pend = jax.lax.while_loop(
-        cond, body, (lengths - 1, wayin, jnp.int32(0), rec0, pend0))
-    # flush the last trip's pending record
-    rec = jax.lax.dynamic_update_slice(
-        rec, pend[None], (jnp.maximum(it_fin - 1, 0), 0, 0))
-
-    # ---- chunked vectorized replay
-    ch = 512                          # trips per replay chunk
-    nch = -(-tmax // ch)
-    oob_col = jnp.int32(cpad)
-    oob_slot = jnp.int32(MAX_INSERTS)
-    seq_i32 = seqs8.astype(jnp.int32)
-
-    def rcond(state):
-        ci = state[0]
-        return ci * ch < it_fin
-
-    def rbody(state):
-        ci, xs, ys, inn, yhi, out, iyb = state
-        r = jax.lax.dynamic_slice(rec, (ci * ch, 0, 0),
-                                  (ch, b, wpt))                # [CH,B,W]
-        # unpack to [B, CH*U] move codes in path order
-        r = jnp.transpose(r, (1, 0, 2))                        # [B,CH,W]
-        shifts = (2 * (jnp.arange(u, dtype=jnp.int32) & 15))
-        m = (r[:, :, au >> 4] >> shifts[None, None, :]) & 3    # [B,CH,U]
-        m = m.reshape(b, ch * u)
-        dy = ((m == 0) | (m == 1)).astype(jnp.int32)
-        dx = ((m == 1) | (m == 2)).astype(jnp.int32)
-        cy = jnp.cumsum(dy, axis=1)
-        cx = jnp.cumsum(dx, axis=1)
-        y_at = ys[:, None] - (cy - dy)          # y BEFORE each move
-        x_at = xs[:, None] - (cx - dx)
-        sx = jnp.take_along_axis(
-            seq_i32, jnp.clip(x_at, 0, l - 1), axis=1)
-        is_last = x_at == (lengths - 1)[:, None]
-        diag = m == 1
-        gap_w = (m == 0) & ~is_last
-        ins = m == 2
-        # row writes: each column is consumed (and so written) by at
-        # most one move, so gap cells never collide with diag cells —
-        # one diag scatter here plus a dense 4-fill afterwards, which
-        # needs the highest written column
-        wr = diag | gap_w
-        yhi = jnp.maximum(yhi, jnp.max(
-            jnp.where(wr, y_at, -1), axis=1))
-        out = out.at[bidx[:, None],
-                     jnp.where(diag, y_at, oob_col)].set(
-            jnp.where(diag, sx, 0).astype(jnp.int8), mode="drop")
-        # insert slots: running count across chunks + within chunk;
-        # (y, base) ride one packed int32 scatter (TPU scatters cost
-        # ~10 cycles per update lane including dropped ones — one
-        # scatter instead of two is a third off the replay)
-        cins = jnp.cumsum(ins.astype(jnp.int32), axis=1)
-        slot = jnp.clip(inn[:, None] + cins - 1, 0,
-                        MAX_INSERTS - 1)
-        iyb = iyb.at[bidx[:, None],
-                     jnp.where(ins, slot, oob_slot)].set(
-            (y_at << 2) | sx, mode="drop")
-        return (ci + 1, xs - cx[:, -1], ys - cy[:, -1],
-                inn + cins[:, -1], yhi, out, iyb)
-
-    out0 = jnp.full((b, cpad), 5, jnp.int8)
-    iyb0 = jnp.zeros((b, MAX_INSERTS), jnp.int32)
-    state = (jnp.int32(0), lengths - 1, wayin,
-             jnp.zeros((b,), jnp.int32),
-             jnp.full((b,), -1, jnp.int32), out0, iyb0)
-    _, _, _, inn, yhi, out, iyb = jax.lax.while_loop(
-        rcond, rbody, state)
-    iy = iyb >> 2
-    ib = (iyb & 3).astype(jnp.int8)
-    # gap 4s: every column in (y_final, y_hi] was consumed by exactly
-    # one gap or diag move; diag cells already hold their base (0..3),
-    # the rest of the range gets 4
-    ycols = jnp.arange(cpad, dtype=jnp.int32)[None, :]
-    fill = (ycols > y_fin[:, None]) & (ycols <= yhi[:, None])
-    out = jnp.where(fill & (out == 5), jnp.int8(4), out)
     return out, best, iy, ib, inn

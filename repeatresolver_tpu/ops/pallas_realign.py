@@ -308,13 +308,13 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     layout [Lpad, B, W2] (Lpad = chunk-padded length) — a free reshape
     instead of the [B, L, W2] transpose, which at paper shapes
     (B=64, L~33k, W2=1640) costs a ~7 GB HBM round trip per block.
-    entry_and_backtrack(time_major=True) consumes it directly.
 
     packed=True (requires time_major) emits 16 move codes per int32
     word (2 bits each, step-major within the word): codes
     [Lpad//16, B, W2] int32 — one quarter the HBM write traffic of the
     dominant output, accumulated in kernel registers and stored once
-    per word. entry_and_backtrack(packed=True) unpacks on read."""
+    per word. pallas_backtrack.entry_and_backtrack_pallas consumes
+    this layout directly (one word tile per 16-x grid cell)."""
     w = bandwidth
     t = chunk
     b, c = rows_old.shape

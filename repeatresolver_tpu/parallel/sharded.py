@@ -102,6 +102,7 @@ def sharded_block_realign(mesh: Mesh, bandwidth: int, mode: str = "exact",
     if mode == "staircase":
         from ..ops import staircase_realign as sr
         if kernel == "pallas":
+            from ..ops import pallas_backtrack as pb
             from ..ops import pallas_realign as pr
     w_codes = bandwidth + (widen * chunk if mode == "staircase" else 0)
     tmp = kernel == "pallas" and mode == "staircase"
@@ -122,10 +123,17 @@ def sharded_block_realign(mesh: Mesh, bandwidth: int, mode: str = "exact",
             codes, fband, fanf = br.banded_fill(
                 counts, rows_old, seqs, ways, lengths, ncols,
                 bandwidth=bandwidth)
-        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
-            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
-            ncols, cpad=rows_old.shape[1], bandwidth=w_codes,
-            time_major=tmp, packed=tmp)
+        if tmp:
+            # per-shard Pallas walk backtrack on the packed codes
+            new_rows, best, iy, ib, inn = pb.entry_and_backtrack_pallas(
+                codes, fband, fanf, seqs, anf_full, entry_bound,
+                lengths, ncols, cpad=rows_old.shape[1],
+                bandwidth=w_codes, chunk=chunk, interpret=interpret)
+        else:
+            new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+                codes, fband, fanf, seqs, anf_full, entry_bound,
+                lengths, ncols, cpad=rows_old.shape[1],
+                bandwidth=w_codes)
         sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
         rowmask = (valid > 0)[:, None, None]
         colmask = (jnp.arange(rows_old.shape[1]) < ncols)[None, :, None]

@@ -79,6 +79,40 @@ def check_pallas_parity():
     print(f"PASS pallas-packed-parity ({time.perf_counter() - t0:.1f}s)")
 
 
+def check_backtrack_parity():
+    """The Pallas walk backtrack (compiled, on silicon) must emit
+    bit-identical outputs to the generic XLA backtrack on the same DP
+    (which is pinned to the serial reference walk by the main suite)."""
+    from repeatresolver_tpu.ops import banded_realign as br
+    from repeatresolver_tpu.ops import pallas_backtrack as pb
+    from repeatresolver_tpu.ops import pallas_realign as pr
+    from repeatresolver_tpu.ops import staircase_realign as sr
+    counts, msa, seqs, ways, lengths, c = make_block(seed=3)
+    w, t = 256, 128
+    t0 = time.perf_counter()
+    ck, bk, ak = pr.staircase_fill_pallas(
+        counts, msa, seqs, ways, lengths, np.int32(c),
+        bandwidth=w, chunk=t, time_major=True, packed=True)
+    cx, bx, ax = sr.staircase_fill(
+        counts, msa, seqs, ways, lengths, np.int32(c),
+        bandwidth=w, chunk=t)
+    anf_full = sr.staircase_anf(ways, lengths, w, t, c)
+    bh = w // 2
+    b = msa.shape[0]
+    last_way = ways[np.arange(b), np.maximum(lengths - 1, 0)]
+    entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+    ref = [np.asarray(o) for o in br.entry_and_backtrack(
+        cx, bx, ax, seqs, anf_full, entry_bound, lengths, np.int32(c),
+        cpad=c, bandwidth=w + t)]
+    got = [np.asarray(o) for o in pb.entry_and_backtrack_pallas(
+        ck, bk, ak, seqs, anf_full, entry_bound, lengths, np.int32(c),
+        cpad=c, bandwidth=w + t, chunk=t)]
+    for r, g, name in zip(ref, got, ("rows", "best", "iy", "ib",
+                                     "inn")):
+        assert np.array_equal(r, g), f"pallas backtrack {name} != xla"
+    print(f"PASS backtrack-parity ({time.perf_counter() - t0:.1f}s)")
+
+
 def check_fill_parity():
     import jax
     from repeatresolver_tpu.ops import banded_realign as br
@@ -131,6 +165,7 @@ def main():
     if backend == "cpu":
         print("WARNING: no accelerator — checks degenerate to cpu==cpu")
     check_pallas_parity()
+    check_backtrack_parity()
     check_fill_parity()
     check_maxcorr_parity()
     print("ALL PASS")

@@ -302,14 +302,12 @@ def test_anneal_polishes_to_serial_quality():
     assert realigner.overall_score_pair(eng.counts) == min(log_ann)
 
 
-def test_backtrack_word_patch_unroll_parity():
-    """The packed word-patch trip body (banded_realign.body_packed)
-    must emit bit-identical outputs to the generic UxU-patch body for
-    any unroll, including stall-heavy tiny unrolls."""
-    import jax
-
+def test_backtrack_unroll_parity():
+    """The generic U x U-patch trip body must emit bit-identical
+    outputs for any unroll, including stall-heavy tiny unrolls. (The
+    packed word-patch body this test used to cover was replaced by the
+    Pallas walk kernel — tests/test_pallas_backtrack.py.)"""
     from repeatresolver_tpu.ops import banded_realign as br
-    from repeatresolver_tpu.ops import pallas_realign as pr
     from repeatresolver_tpu.ops import staircase_realign as sr
 
     rng = np.random.default_rng(5)
@@ -325,13 +323,9 @@ def test_backtrack_word_patch_unroll_parity():
     for i in range(b):
         ways[i, lengths[i]:] = ways[i, lengths[i] - 1]
 
-    ck, bk, ak = pr.staircase_fill_pallas(
-        counts, msa, seqs, ways, lengths, np.int32(c), bandwidth=w,
-        chunk=t, interpret=True, time_major=True, packed=True)
     cx, bx, ax = sr.staircase_fill(
         counts, msa, seqs, ways, lengths, np.int32(c), bandwidth=w,
         chunk=t)
-    np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
 
     w2 = w + t
     anf_full = sr.staircase_anf(ways, lengths, w, t, c)
@@ -340,15 +334,16 @@ def test_backtrack_word_patch_unroll_parity():
     entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
     cpad = c + 64
 
-    def run(codes, tm, pk, u):
+    def run(u):
         return [np.asarray(o) for o in br.entry_and_backtrack(
-            codes, bk, ak, seqs, anf_full, entry_bound, lengths,
-            np.int32(c), cpad=cpad, bandwidth=w2, time_major=tm,
-            packed=pk, unroll=u)]
+            cx, bx, ax, seqs, anf_full, entry_bound, lengths,
+            np.int32(c), cpad=cpad, bandwidth=w2, unroll=u)]
 
-    ref = run(cx, False, False, 1)          # generic body, plain loop
-    for u in (1, 2, 8, 32, 48):             # word-patch body
-        got = run(ck, True, True, u)
+    ref = run(1)
+    for u in (2, 8, 48):
+        got = run(u)
         for r, g, name in zip(ref, got,
                               ("rows", "best", "iy", "ib", "inn")):
             np.testing.assert_array_equal(r, g, err_msg=f"u={u} {name}")
+
+
