@@ -487,8 +487,25 @@ class BatchedRealigner:
         import time as _time
         log_every = int(_os.environ.get("RR_SWEEP_LOG", "0") or 0)
         t_start = _time.perf_counter()
+        # Device kernels pad every row in a block to the block's max
+        # length (and all lanes run to the padded length bucket), so a
+        # block mixing a 30k-base row with 3k-base fragments wastes
+        # most of its lanes. Visit rows in descending-length order so
+        # blocks are length-homogeneous: same set of rows per sweep,
+        # different Gauss-Seidel-across-blocks order (block>1 already
+        # deviates from the serial trajectory by design; block 1 keeps
+        # the exact reference order). Applied for every kernel so the
+        # blocked trajectory stays kernel-independent (tested).
+        order = np.arange(r)
+        if bs > 1:
+            if getattr(self, "_len_order", None) is None:
+                # row base counts are realignment-invariant: cache once
+                lengths_all = (self.msa < 4).sum(axis=1)
+                self._len_order = np.argsort(-lengths_all,
+                                             kind="stable")
+            order = self._len_order
         for k0 in range(0, r, bs):
-            rows = list(range(k0, min(r, k0 + bs)))
+            rows = [int(k) for k in order[k0:k0 + bs]]
             if not defer:
                 self._drop_empty(min_frac=0.0)
             t0 = _time.perf_counter()
@@ -646,15 +663,24 @@ class BatchedRealigner:
             seq_list.append(rows_old[b][pos])
         lmax = max(1, int(lengths.max()))
 
-        # pad L and C to buckets so XLA compiles once per bucket combo
-        def bucket(x, base=256):
+        # pad L and C to buckets so XLA compiles once per bucket combo.
+        # Power-of-two buckets pay up to 2x: the kernels run every lane
+        # to lpad and the block transfers/row buffers scale with cpad,
+        # so both get intermediate rungs (bounded extra compiles —
+        # shapes repeat across blocks and sweeps, and the persistent
+        # compilation cache carries them across runs).
+        def bucket(x, base=256, steps=(0.75,)):
             v = base
             while v < x:
                 v *= 2
+            if v > base:
+                for f in sorted(steps):
+                    if v * f >= x:
+                        return int(v * f)
             return v
 
         lpad = bucket(lmax)
-        cpad = bucket(c, 512)
+        cpad = bucket(c, 512, steps=(0.625, 0.75, 0.875))
         seqs = np.zeros((bs, lpad), np.int8)
         ways = np.zeros((bs, lpad), np.int32)
         for b in range(bs):
@@ -742,7 +768,11 @@ class BatchedRealigner:
                                   inn)
                 return
 
-        counts_p = np.zeros((cpad, 6), np.int32)
+        # upload counts as int16 when they fit (values <= rows): halves
+        # the per-block counts transfer; every device kernel casts its
+        # cost arrays to int32 on entry
+        cdt = np.int16 if self.msa.shape[0] < (1 << 15) else np.int32
+        counts_p = np.zeros((cpad, 6), cdt)
         counts_p[:c] = counts
         rows_p = np.full((bs, cpad), 5, np.int8)
         rows_p[:, :c] = rows_old
@@ -867,7 +897,8 @@ class BatchedRealigner:
             ways = np.concatenate([ways, np.repeat(ways[:1], p, axis=0)])
             lengths = np.concatenate([lengths,
                                       np.repeat(lengths[:1], p)])
-        counts_p = np.zeros((cpad, 6), np.int32)
+        cdt = np.int16 if self.msa.shape[0] < (1 << 15) else np.int32
+        counts_p = np.zeros((cpad, 6), cdt)
         counts_p[:c] = counts
         rows_p = np.full((bpad, cpad), 5, np.int8)
         rows_p[:, :c] = rows_old

@@ -44,8 +44,10 @@ from .banded_realign import BIG, _row_costs
 # depth is independent of BR, and grid cells run sequentially on the
 # one TensorCore — so BR is the ILP knob: more rows per cell means
 # more independent vregs in flight per chain stage (overridable for
-# on-chip sweeps via RR_PALLAS_BR).
-BR = int(os.environ.get("RR_PALLAS_BR", "8"))
+# on-chip sweeps via RR_PALLAS_BR). Measured on v5e at paper shapes
+# (64 rows x 32k x band 1000, widen 6): BR 8 -> 7.7e9 cells/s, BR 16
+# -> 1.27e10 (1.63x); BR 32 blows up Mosaic compile time (>20 min).
+BR = int(os.environ.get("RR_PALLAS_BR", "16"))
 
 
 # Coarse-gather granularity: window streams are extracted from the
@@ -164,6 +166,7 @@ def _kernel(w, packed, gap_ref, ins_ref, ns_ref, flags_ref, gy1_ref,
     ci = pl.program_id(1)
     t = seq_ref.shape[1]
     w2 = band.shape[1]
+    BR = band.shape[0]          # rows per program (<= module BR)
 
     lengths = len_ref[:, 0]
     seq_all = seq_ref[:, :]                             # [BR, T]
@@ -319,7 +322,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     t = chunk
     b, c = rows_old.shape
     l = seqs.shape[1]
-    assert b % BR == 0, f"block rows must be a multiple of {BR}"
+    br_ = next(v for v in (BR, 8, 4, 2, 1) if b % v == 0)
     assert not packed or (time_major and t % 16 == 0)
     wd = _fields(counts, rows_old, seqs, ways, lengths, ncols, w, t,
                  widen=widen)
@@ -331,23 +334,23 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
     def bs(shape, index):
         return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
 
-    win = bs((BR, wv), lambda bg, ci: (bg, ci))
+    win = bs((br_, wv), lambda bg, ci: (bg, ci))
     tc = t // 16 if packed else t
-    grid = (b // BR, nc)
+    grid = (b // br_, nc)
     codes, band_out = pl.pallas_call(
         functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
             win, win, win, win, win,                 # gap ins ns fl gy1
             win, win, win, win,                      # c40..c43
-            bs((BR, nc), lambda bg, ci: (bg, 0)),             # aint
-            bs((BR, t), lambda bg, ci: (bg, ci)),             # seq
-            bs((BR, t), lambda bg, ci: (bg, ci)),             # lob
-            bs((BR, 1), lambda bg, ci: (bg, 0)),              # lengths
+            bs((br_, nc), lambda bg, ci: (bg, 0)),            # aint
+            bs((br_, t), lambda bg, ci: (bg, ci)),            # seq
+            bs((br_, t), lambda bg, ci: (bg, ci)),            # lob
+            bs((br_, 1), lambda bg, ci: (bg, 0)),             # lengths
         ],
         out_specs=[
-            bs((1, tc, BR, w2), lambda bg, ci: (ci, 0, bg, 0)),
-            bs((BR, w2), lambda bg, ci: (bg, 0)),
+            bs((1, tc, br_, w2), lambda bg, ci: (ci, 0, bg, 0)),
+            bs((br_, w2), lambda bg, ci: (bg, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nc, tc, b, w2),
@@ -355,8 +358,8 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
             jax.ShapeDtypeStruct((b, w2), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BR, w2), jnp.int32),            # band state
-            pltpu.VMEM((BR, 1), jnp.int32),             # gtop carry
+            pltpu.VMEM((br_, w2), jnp.int32),           # band state
+            pltpu.VMEM((br_, 1), jnp.int32),            # gtop carry
         ],
         # paper shapes (band 1000, widen 4 -> w2 1512, chunk 128)
         # need ~35 MB of scoped VMEM — past XLA's 16 MB default;

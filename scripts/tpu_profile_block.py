@@ -22,7 +22,10 @@ def main():
     import jax
     print(f"backend={jax.default_backend()}", flush=True)
 
-    msa = read_msa_rows("runs/paper/Tree_1perc_30000kb_MSAreal", 256)
+    path = (sys.argv[1] if len(sys.argv) > 1
+            else "runs/paper/Tree_1perc_30000kb_MSAreal")
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    msa = read_msa_rows(path, rows)
     used = (msa < 4).any(axis=0)
     msa = msa[:, used.argmax():len(used) - used[::-1].argmax()]
     from repeatresolver_tpu.models.realigner import BatchedRealigner
