@@ -457,6 +457,28 @@ class BatchedRealigner:
         self._drop_empty()
         return overall_score_pair(self.counts)
 
+    # engine-polymorphic accessors: the device-resident subclass keeps
+    # the MSA in HBM and overrides these so the main loop never forces
+    # a download on its hot path (models/realigner_device.py)
+    def best_snapshot(self):
+        return self.msa.copy()
+
+    def width(self) -> int:
+        return self.msa.shape[1]
+
+    def total_bases(self) -> int:
+        return int(self.counts[:, 0:4].sum())
+
+    def validate(self) -> None:
+        validate_counts(self.msa, self.counts)
+
+    def respawn(self, msa: np.ndarray, block_rows: int):
+        """A fresh engine of the same configuration over `msa` (the
+        anneal restart, realign_batched)."""
+        return BatchedRealigner(msa, bandwidth=self.bandwidth,
+                                block_rows=block_rows, mode=self.mode,
+                                kernel=self.kernel, mesh=self.mesh)
+
     def sweep(self) -> None:
         from ..ops import banded_realign as br
         r = self.msa.shape[0]
@@ -1071,9 +1093,19 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             kernel = ("pallas" if on_tpu and mode == "staircase" else
                       "native" if not on_tpu and mode == "exact" else
                       "xla")
-    eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
-                           block_rows=block_rows or cfg.block_rows,
-                           mode=mode, kernel=kernel, mesh=mesh)
+    bs = block_rows or cfg.block_rows
+    resident = (kernel == "pallas" and mode == "staircase"
+                and mesh is None and bs > 1
+                and msa.shape[0] <= BatchedRealigner.PALLAS_MAX_ROWS
+                and os.environ.get("RR_RESIDENT", "1") != "0")
+    if resident:
+        from .realigner_device import DeviceResidentRealigner
+        eng = DeviceResidentRealigner(msa, bandwidth=cfg.bandwidth,
+                                      block_rows=bs)
+    else:
+        eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
+                               block_rows=bs, mode=mode,
+                               kernel=kernel, mesh=mesh)
     eng.ent_al_gapper()
     best_msa = None
     rounds = start_round
@@ -1084,6 +1116,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     writer: list = [None]         # in-flight best-MSA write thread
 
     def _write_best(snapshot, pair, rnd):
+        snapshot = np.asarray(snapshot)   # lazy device snapshots
         if out_path is not None:
             rio.write_msa(out_path, snapshot, upper=True)
         if checkpoint_path is not None:
@@ -1102,10 +1135,10 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             # (PW_ReAligner.c:965-1007)
             with open(score_log_path, "a") as f:
                 f.write(f"{rounds} {pair[0]}{pair[1]:06d} "
-                        f"{eng.msa.shape[1]}\n")
+                        f"{eng.width()}\n")
         if pair < best:
             best = pair
-            best_msa = eng.msa.copy()
+            best_msa = eng.best_snapshot()
             if write and (out_path is not None
                           or checkpoint_path is not None):
                 # overlap the multi-GB best-MSA write with the next
@@ -1130,21 +1163,18 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             msa=eng.msa, round=0, best_mille=best[0], best_uno=best[1],
             bandwidth=cfg.bandwidth).save(checkpoint_path)
     while rounds < cfg.max_rounds:
-        cells += int((eng.msa < 4).sum()) * cfg.bandwidth
+        cells += eng.total_bases() * cfg.bandwidth
         eng.sweep()
         rounds += 1
         if validate:
-            validate_counts(eng.msa, eng.counts)
+            eng.validate()
         if not check_improved():
             if anneal and eng.block_rows > 1:
                 nb = max(1, eng.block_rows // 4)
                 if best_msa is not None and eng.overall_pair() > best:
                     # the stalled Jacobi round left the MSA worse than
                     # the checkpointed best — polish from the best
-                    eng = BatchedRealigner(
-                        best_msa.copy(), bandwidth=cfg.bandwidth,
-                        block_rows=nb, mode=eng.mode,
-                        kernel=eng.kernel, mesh=mesh)
+                    eng = eng.respawn(np.asarray(best_msa).copy(), nb)
                 else:
                     eng.block_rows = nb
                 continue
@@ -1157,7 +1187,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         dt = time.perf_counter() - t0
         stats.update(rounds=rounds, wall_s=dt, dp_cells=cells,
                      cells_per_s=cells / dt if dt > 0 else 0.0)
-    return best_msa if best_msa is not None else eng.msa
+    return (np.asarray(best_msa) if best_msa is not None
+            else eng.msa)
 
 
 def realign(msa: np.ndarray, cfg: RealignerConfig,

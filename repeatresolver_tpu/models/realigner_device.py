@@ -1,0 +1,507 @@
+"""Device-resident realignment engine: the MSA lives in HBM.
+
+The host-orchestrated BatchedRealigner uploads every block's rows,
+counts, and per-row streams, and downloads every block's rewritten
+rows — ~25-30 MB per 64-row block. On locally-attached TPUs that is
+PCIe noise; through this session's relay (~85 MB/s, ~35 ms RTT) it
+multiplies the realign wall time several-fold, and even on real
+hardware it costs a host round-trip per block. This engine keeps the
+whole MSA and its column histogram resident on the device and runs a
+sweep as a stream of ASYNC dispatches with ONE host synchronization
+per sweep:
+
+  * msa_d int8 [R, CPAD] and counts_d int32 [CPAD, 6] live on device
+    in LOGICAL column order with a static capacity CPAD (width changes
+    from splices/compaction move inside the capacity; `ncols` is a
+    traced scalar), so the whole run compiles one block_step per
+    row-length bucket — no width-driven recompiles;
+  * block_step (donated buffers, one dispatch per block): gathers the
+    block's rows, compacts them into (seqs, ways) streams on device
+    (cumsum + drop-mode scatter), runs the Pallas staircase fill + the
+    Pallas walk backtrack, and applies the rewritten rows and the
+    count delta in place — the reference's Columns_Downdater /
+    Column_Updater (PW_ReAligner.c:1172-1243) as one fused device op;
+  * insert lists, per-block best scores, and drift scalars are fetched
+    asynchronously and consumed at sweep end, where the host builds
+    the splice-and-compaction plan (reference Column_Adder / W_Con
+    semantics, PW_ReAligner.c:1245-1332, 706-763) and applies it as
+    ONE device regather;
+  * the staircase drift slack (`widen`) is fixed per run instead of
+    measured per block (a per-block measurement would force a host
+    sync before every dispatch); every block's actual drift is
+    validated at sweep end, and a violation restores the sweep-start
+    device snapshot, raises the slack one rung, and redoes the sweep —
+    the same "window must cover the band" contract the host path
+    enforces per block.
+
+Trajectory parity: given the same block order and flush points, every
+sweep's math is the host path's math (same kernels, same splice plan,
+same drop points), so the (mille, uno) score trajectory and the final
+MSA are bit-equal to BatchedRealigner(kernel="pallas",
+mode="staircase") — asserted by tests/test_realigner_device.py on the
+CPU interpreter. The one permitted difference is the fixed `widen`:
+the staircase window is drift slack, not extra band, so any slack
+covering the drift yields identical DP results (also asserted).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from .realigner import BatchedRealigner, overall_score_pair
+
+MAX_INSERTS_FETCH = 512   # insert slots fetched per block (per sweep
+                          # a row inserts ~0-5 columns; overflow rows
+                          # trigger a full-list refetch)
+
+
+@functools.lru_cache(maxsize=None)
+def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
+          interpret: bool):
+    """Compiled device ops for one (band, chunk, widen, lpad) combo."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import banded_realign as br
+    from ..ops import pallas_backtrack as pb
+    from ..ops import pallas_realign as pr
+
+    bh = bandwidth // 2
+    w2 = bandwidth + widen * chunk
+
+    def block_step(msa_d, counts_d, rows, lengths, ncols):
+        b = rows.shape[0]
+        cpad = msa_d.shape[1]
+        rows_ok = rows >= 0
+        rows_cl = jnp.maximum(rows, 0)
+        rows_old = jnp.take(msa_d, rows_cl, axis=0)
+        rows_old = jnp.where(rows_ok[:, None], rows_old, jnp.int8(5))
+
+        # compact each row's bases into (seqs, ways) streams: one
+        # cumsum + one packed drop-mode scatter
+        isb = rows_old < 4
+        pos = jnp.cumsum(isb.astype(jnp.int32), axis=1) - 1
+        cols = jnp.arange(cpad, dtype=jnp.int32)[None, :]
+        tgt = jnp.where(isb & (pos < lpad), pos, lpad)
+        packed = (cols << 2) | rows_old.astype(jnp.int32)
+        buf = jnp.zeros((b, lpad), jnp.int32)
+        buf = buf.at[jnp.arange(b)[:, None], tgt].set(packed,
+                                                      mode="drop")
+        ways = buf >> 2
+        seqs = (buf & 3).astype(jnp.int8)
+        xs = jnp.arange(lpad, dtype=jnp.int32)[None, :]
+        inlen = xs < lengths[:, None]
+        last_way = jnp.take_along_axis(
+            ways, jnp.maximum(lengths[:, None] - 1, 0), axis=1)
+        ways = jnp.where(inlen, ways, last_way)
+        seqs = jnp.where(inlen, seqs, 0)
+
+        # staircase window starts (staircase_anf semantics: constant
+        # per chunk from the chunk's first position; lpad need not be a
+        # chunk multiple) + per-block drift, validated at sweep end
+        # against widen*chunk with the host path's exact formula
+        nc = -(-lpad // chunk)
+        starts_i = jnp.arange(nc, dtype=jnp.int32) * chunk
+        ends_i = jnp.minimum(starts_i + chunk - 1, lpad - 1)
+        w_start = jnp.take(ways, starts_i, axis=1)        # [bs, NC]
+        w_end = jnp.take(ways, ends_i, axis=1)
+        drift = jnp.max(w_end - w_start)
+        a_chunks = jnp.maximum(0, w_start - bh)
+        anf_full = jnp.repeat(a_chunks, chunk, axis=1)[:, :lpad]
+        entry_bound = jnp.maximum(-1, last_way[:, 0] - bh)
+
+        codes, fband, fanf = pr.staircase_fill_pallas(
+            counts_d, rows_old, seqs, ways, lengths, ncols,
+            bandwidth=bandwidth, chunk=chunk, widen=widen,
+            time_major=True, packed=True, interpret=interpret)
+        new_rows, best, iy, ib, inn = pb.entry_and_backtrack_pallas(
+            codes, fband, fanf, seqs, anf_full, entry_bound, lengths,
+            ncols, cpad=cpad, bandwidth=w2, chunk=chunk,
+            interpret=interpret)
+
+        # in-place apply: row scatter + histogram delta (the column
+        # count update), padding rows dropped
+        sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
+        okm = rows_ok[:, None, None]
+
+        def hist(r):
+            eq = (r.astype(jnp.int32)[:, :, None] == sym) & okm
+            return eq.sum(axis=0, dtype=jnp.int32)
+
+        delta = hist(new_rows) - hist(rows_old)
+        msa_d = msa_d.at[
+            jnp.where(rows_ok, rows, msa_d.shape[0])].set(
+            new_rows, mode="drop")
+        counts_d = counts_d + delta
+        iyb = (iy[:, :MAX_INSERTS_FETCH] << 2) | ib[
+            :, :MAX_INSERTS_FETCH].astype(jnp.int32)
+        return msa_d, counts_d, iyb, inn, best, drift
+
+    step = jax.jit(block_step, donate_argnums=(0, 1))
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _regather_jit(npad: int, interpret: bool):
+    """One device op for the sweep-end splice + empty-column drop:
+    gather the surviving/new column order, build the inserted columns
+    (reference Column_Adder neighbor rule against the pre-splice MSA),
+    and write them in. npad: padded insert count (oob-sentinel lanes
+    are dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    def regather(msa_d, counts_d, gmap, ins_gap, ins_newpos, ins_row,
+                 ins_base, ncols):
+        r, cpad = msa_d.shape
+        gm = jnp.clip(gmap, 0, cpad - 1)
+        msa2 = jnp.take(msa_d, gm, axis=1)
+        counts2 = jnp.take(counts_d, gm, axis=0)
+        # inserted columns from PRE-splice neighbors (realigner
+        # _do_inserts contract): 5 where either neighbor is 5 (or the
+        # gap is the last column), else 4; owner cell gets its base
+        gap_cl = jnp.clip(ins_gap, 0, cpad - 1)
+        prv = jnp.take(msa_d, gap_cl, axis=1)            # [R, NPAD]
+        nxt = jnp.take(msa_d, jnp.clip(ins_gap + 1, 0, cpad - 1),
+                       axis=1)
+        col = jnp.where((prv == 5) | (nxt == 5)
+                        | (ins_gap == ncols - 1)[None, :],
+                        jnp.int8(5), jnp.int8(4))
+        col = col.at[jnp.clip(ins_row, 0, r - 1),
+                     jnp.arange(npad)].set(
+            jnp.where(ins_row >= 0, ins_base, col[
+                jnp.clip(ins_row, 0, r - 1), jnp.arange(npad)]))
+        msa2 = msa2.at[:, jnp.where(ins_row >= 0, ins_newpos,
+                                    cpad)].set(col, mode="drop")
+        sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
+        ch = (col.astype(jnp.int32)[:, :, None] == sym).sum(
+            axis=0, dtype=jnp.int32)                      # [NPAD, 6]
+        counts2 = counts2.at[jnp.where(ins_row >= 0, ins_newpos,
+                                       cpad)].set(ch, mode="drop")
+        return msa2, counts2
+
+    return jax.jit(regather, donate_argnums=(0, 1))
+
+
+class DeviceResidentRealigner(BatchedRealigner):
+    """BatchedRealigner with the MSA resident on the accelerator.
+
+    Only the production TPU configuration is supported (staircase mode
+    + Pallas kernels, no mesh, block_rows > 1, rows < 32768); anything
+    else should use the base class.
+    """
+
+    def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
+                 block_rows: int = 64, mode: str = "staircase",
+                 chunk: int = 256, kernel: str = "pallas", mesh=None,
+                 interpret: bool | None = None):
+        assert mode == "staircase" and kernel == "pallas"
+        assert mesh is None and block_rows > 1
+        super().__init__(msa, bandwidth=bandwidth,
+                         block_rows=block_rows, mode=mode, chunk=chunk,
+                         kernel=kernel)
+        assert self.msa.shape[0] <= self.PALLAS_MAX_ROWS
+        if interpret is None:
+            import jax
+            interpret = jax.default_backend() == "cpu"
+        self._interpret = bool(interpret)
+        self._widen = int(os.environ.get("RR_RESIDENT_WIDEN", "12"))
+        self._msa_d = None                # device [R, CPAD] int8
+        self._counts_d = None             # device [CPAD, 6] int32
+        self._ncols = None
+        self._cpad = None
+        self._lengths_all = None
+
+    # ------------------------------------------------ device lifecycle
+
+    def _upload(self):
+        import jax
+        import jax.numpy as jnp
+        r, c = self.msa.shape
+        slack = max(4096, c // 8)
+        cpad = -(-(c + slack) // 1024) * 1024
+        msa_p = np.full((r, cpad), 5, np.int8)
+        msa_p[:, :c] = self.msa
+        cnt_p = np.zeros((cpad, 6), np.int32)
+        cnt_p[:c] = self.counts
+        self._msa_d = jax.device_put(jnp.asarray(msa_p))
+        self._counts_d = jax.device_put(jnp.asarray(cnt_p))
+        self._ncols = c
+        self._cpad = cpad
+        self._lengths_all = (self.msa < 4).sum(axis=1).astype(np.int32)
+        if getattr(self, "_len_order", None) is None:
+            self._len_order = np.argsort(-self._lengths_all,
+                                         kind="stable")
+
+    def _sync_host(self):
+        """Materialize the device state back into the host mirrors."""
+        if self._msa_d is None:
+            return
+        # np.asarray of a device array is read-only; downstream engines
+        # mutate in place, so materialize a writable copy
+        self.msa = np.array(np.asarray(self._msa_d)[:, :self._ncols])
+        self.counts = np.asarray(self._counts_d)[:self._ncols].astype(
+            np.int64)
+        self._msa_d = self._counts_d = None
+
+    def ent_al_gapper(self):
+        self._sync_host()
+        super().ent_al_gapper()
+
+    def overall_pair(self):
+        if self._msa_d is None:
+            return super().overall_pair()
+        return overall_score_pair(self.counts)
+
+    def width(self) -> int:
+        return self._ncols if self._msa_d is not None \
+            else self.msa.shape[1]
+
+    def total_bases(self) -> int:
+        return int(self.counts[:, 0:4].sum())
+
+    def best_snapshot(self):
+        """A copy of the current MSA for best-tracking: a device-side
+        copy when resident (downloaded lazily by np.asarray), a host
+        copy otherwise."""
+        if self._msa_d is None:
+            return self.msa.copy()
+        return _LazySnapshot(self._msa_d, self._ncols)
+
+    def validate(self):
+        from .realigner import validate_counts
+        if self._msa_d is None:
+            validate_counts(self.msa, self.counts)
+            return
+        msa = np.asarray(self._msa_d)[:, :self._ncols]
+        validate_counts(msa, np.asarray(
+            self._counts_d)[:self._ncols].astype(np.int64))
+
+    def respawn(self, msa, block_rows):
+        if block_rows > 1:
+            return DeviceResidentRealigner(
+                msa, bandwidth=self.bandwidth, block_rows=block_rows,
+                mode=self.mode, chunk=self.chunk, kernel=self.kernel,
+                interpret=self._interpret)
+        # the anneal's block-1 tail is inherently serial: one row per
+        # step, reference Gauss-Seidel. On device that is one dispatch
+        # per ROW (~9 min/round through the relay); the host native
+        # engine does the identical exact-band serial sweep at ~6e8
+        # cells/s — block-1 staircase and block-1 exact are the same
+        # reference walk (window covers the band), so the trajectory
+        # contract is unchanged (tests/test_realigner_device.py)
+        return BatchedRealigner(msa, bandwidth=self.bandwidth,
+                                block_rows=1, mode="exact",
+                                kernel="native")
+
+    # ------------------------------------------------------- the sweep
+
+    def sweep(self) -> None:
+        if self.block_rows == 1:
+            # serial mode is host territory: block-1 staircase on
+            # device would pay one dispatch per ROW; the native exact
+            # engine runs the identical reference walk (see respawn)
+            self._sync_host()
+            self.kernel = "native"
+            self.mode = "exact"
+            super().sweep()
+            return
+        if self._msa_d is None:
+            self._upload()
+        while True:
+            snap_m = self._msa_d + 0      # sweep-start snapshot for
+            snap_c = self._counts_d + 0   # the drift-violation redo
+            snap_n = self._ncols
+            ok = self._try_sweep()
+            if ok:
+                break
+            # a block's column-path drift exceeded the fixed staircase
+            # slack: restore, raise the slack one rung, redo the sweep
+            self._msa_d, self._counts_d = snap_m, snap_c
+            self._ncols = snap_n
+            ladder = [v for v in self.WIDEN_LADDER
+                      if v > self._widen]
+            if not ladder:
+                raise RuntimeError("column-path drift exceeds the "
+                                   "maximum staircase slack")
+            self._widen = ladder[0]
+
+    def _try_sweep(self) -> bool:
+        import jax.numpy as jnp
+
+        r = self.msa.shape[0]
+        bs = self.block_rows
+        order = self._len_order
+        lengths_all = self._lengths_all
+        from ..ops import pallas_realign as pr
+        quant = pr.BR
+
+        def bucket(x, base=256, steps=(0.75,)):
+            v = base
+            while v < x:
+                v *= 2
+            if v > base:
+                for f in sorted(steps):
+                    if v * f >= x:
+                        return int(v * f)
+            return v
+
+        pending: list = []
+        fetches: list = []
+        cap = self._flush_cap
+
+        for k0 in range(0, r, bs):
+            rows = order[k0:k0 + bs].astype(np.int32)
+            bl = lengths_all[rows]
+            bpad = -(-len(rows) // quant) * quant
+            if bpad != len(rows):
+                rows = np.concatenate(
+                    [rows, np.full(bpad - len(rows), -1, np.int32)])
+                bl = np.concatenate(
+                    [bl, np.zeros(bpad - len(bl), np.int32)])
+            lpad = bucket(max(1, int(bl.max())))
+            step = _jits(self.bandwidth, self.chunk, self._widen,
+                         lpad, self._interpret)
+            self._msa_d, self._counts_d, iyb, inn, best, drift = step(
+                self._msa_d, self._counts_d, jnp.asarray(rows),
+                jnp.asarray(bl), np.int32(self._ncols))
+            fetches.append((rows, iyb, inn, drift))
+
+            # drain fetches a few blocks behind the dispatch horizon:
+            # the pipeline never stalls (those results are long done),
+            # and the cap check below sees a pending count at most 3
+            # blocks stale — so a cap-triggered mid-sweep flush can
+            # land up to 3 blocks later than the host path's (both
+            # valid flush points of the same Jacobi sweep; paper-scale
+            # sweeps stay under the cap entirely)
+            while len(fetches) > 3:
+                if not self._drain(fetches.pop(0), pending):
+                    return False
+            if len(pending) >= cap:
+                while fetches:
+                    if not self._drain(fetches.pop(0), pending):
+                        return False
+                self._flush_device(pending, drop_empty=False)
+                pending = []
+
+        while fetches:
+            if not self._drain(fetches.pop(0), pending):
+                return False
+        self._flush_device(pending, drop_empty=True)
+        return True
+
+    def _drain(self, item, pending) -> bool:
+        """Materialize one block's async outputs into the pending
+        insert list; False on a drift violation."""
+        rows, iyb, inn, drift = item
+        if int(np.asarray(drift)) > self._widen * self.chunk:
+            return False
+        inn = np.asarray(inn)
+        if (inn > 0).any():
+            if (inn > MAX_INSERTS_FETCH).any():
+                raise RuntimeError("insert fetch window exceeded; "
+                                   "raise MAX_INSERTS_FETCH")
+            iyb = np.asarray(iyb)
+            for b, k in enumerate(rows):
+                if k < 0:
+                    continue
+                for o in range(int(inn[b])):
+                    v = int(iyb[b, o])
+                    pending.append((v >> 2, int(k), o, v & 3))
+        return True
+
+    def _flush_device(self, pending, drop_empty: bool) -> None:
+        """Sweep-end (or cap-triggered) splice + optional empty-column
+        compaction as one device regather; host mirrors updated."""
+        import jax.numpy as jnp
+        counts_now = np.asarray(self._counts_d)[:self._ncols]
+        c = self._ncols
+        if pending:
+            pending.sort(key=lambda t: (t[0], t[1], -t[2]))
+            positions = np.array([g + 1 for g, k, o, b in pending],
+                                 np.int64)
+            ins_gap = np.array([g for g, k, o, b in pending], np.int32)
+            ins_row = np.array([k for g, k, o, b in pending], np.int32)
+            ins_base = np.array([b for g, k, o, b in pending], np.int8)
+        else:
+            positions = np.zeros(0, np.int64)
+            ins_gap = ins_row = np.zeros(0, np.int32)
+            ins_base = np.zeros(0, np.int8)
+        n = len(positions)
+        keep = None
+        if drop_empty:
+            keep = counts_now[:, 0:4].sum(axis=1) > 0
+            if keep.all() and n == 0:
+                self.counts = counts_now.astype(np.int64)
+                return
+        elif n == 0:
+            self.counts = counts_now.astype(np.int64)
+            return
+
+        # new logical order: np.insert semantics over the kept columns
+        # (inserted columns are never empty, so splice-then-drop equals
+        # drop-then-splice on this plan)
+        keep_idx = (np.flatnonzero(keep) if keep is not None
+                    else np.arange(c, dtype=np.int64))
+        # np.insert positions index the PRE-drop axis; an insert's rank
+        # among kept columns is the count of kept columns before it,
+        # and the j-th insert (positions ascending, ties in pend
+        # order — np.insert stacking order) lands at rank + j
+        pos_kept = np.searchsorted(keep_idx, positions, side="left")
+        c_new = len(keep_idx) + n
+        if c_new > self._cpad:
+            raise RuntimeError("device MSA capacity exceeded; raise "
+                               "the upload slack")
+        newpos_of_ins = (pos_kept
+                         + np.arange(n, dtype=np.int64)).astype(
+            np.int32)
+        # gmap[j] = source OLD column for new col j; inserted lanes
+        # point at their gap (overwritten by the built columns)
+        gmap = np.full(self._cpad, self._cpad - 1, np.int32)
+        kept_mask = np.ones(c_new, bool)
+        kept_mask[newpos_of_ins] = False
+        gmap[:c_new][kept_mask] = keep_idx.astype(np.int32)
+        gmap[:c_new][newpos_of_ins] = ins_gap
+
+        npad = max(256, -(-n // 256) * 256)
+        ig = np.full(npad, self._cpad - 1, np.int32)
+        ig[:n] = ins_gap
+        inp = np.full(npad, self._cpad, np.int32)
+        inp[:n] = newpos_of_ins
+        irow = np.full(npad, -1, np.int32)
+        irow[:n] = ins_row
+        ibase = np.zeros(npad, np.int8)
+        ibase[:n] = ins_base
+
+        reg = _regather_jit(npad, self._interpret)
+        self._msa_d, self._counts_d = reg(
+            self._msa_d, self._counts_d, jnp.asarray(gmap),
+            jnp.asarray(ig), jnp.asarray(inp), jnp.asarray(irow),
+            jnp.asarray(ibase), np.int32(c))
+        self._ncols = c_new
+        self.counts = np.asarray(
+            self._counts_d)[:c_new].astype(np.int64)
+
+
+class _LazySnapshot:
+    """A device-side MSA copy that materializes on np.asarray — lets
+    the best-MSA writer thread pay the download off the sweep path."""
+
+    def __init__(self, msa_d, ncols):
+        self._dev = msa_d + 0            # decouple from donated buffer
+        self._ncols = ncols
+        self.shape = (msa_d.shape[0], ncols)
+        self._np = None
+
+    def __array__(self, dtype=None, copy=None):
+        if self._np is None:
+            self._np = np.asarray(self._dev)[:, :self._ncols]
+            self._dev = None
+        a = self._np
+        return a.astype(dtype) if dtype is not None else a
+
+    def copy(self):
+        return np.asarray(self).copy()

@@ -29,6 +29,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# realign on the TPU backend compiles one kernel per (length bucket,
+# widen); cold compiles run minutes — persist them across runs/stages
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 
 STAGES = ["simulate", "cut", "align", "realign", "window", "maxcorr",
