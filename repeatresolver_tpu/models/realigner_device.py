@@ -221,7 +221,11 @@ class DeviceResidentRealigner(BatchedRealigner):
         import jax
         import jax.numpy as jnp
         r, c = self.msa.shape
-        slack = max(4096, c // 8)
+        # early sweeps insert tens of thousands of columns before the
+        # sweep-end drops reclaim them (paper round 1: width 134k ->
+        # 153k net, higher transiently) — size the capacity for that,
+        # with on-demand growth (_flush_device) as the backstop
+        slack = max(32768, c // 3)
         cpad = -(-(c + slack) // 1024) * 1024
         msa_p = np.full((r, cpad), 5, np.int8)
         msa_p[:, :c] = self.msa
@@ -384,7 +388,13 @@ class DeviceResidentRealigner(BatchedRealigner):
                 while fetches:
                     if not self._drain(fetches.pop(0), pending):
                         return False
-                self._flush_device(pending, drop_empty=False)
+                # mid-sweep flushes also drop empty columns here
+                # (the host path splices only): it bounds the
+                # transient width in insert-heavy early sweeps, at the
+                # cost of deviating from the host trajectory whenever
+                # a sweep crosses the cap — another valid geometry
+                # point of the same Jacobi sweep
+                self._flush_device(pending, drop_empty=True)
                 pending = []
 
         while fetches:
@@ -453,8 +463,15 @@ class DeviceResidentRealigner(BatchedRealigner):
         pos_kept = np.searchsorted(keep_idx, positions, side="left")
         c_new = len(keep_idx) + n
         if c_new > self._cpad:
-            raise RuntimeError("device MSA capacity exceeded; raise "
-                               "the upload slack")
+            # grow the device capacity in place (one pad each; the
+            # block step recompiles for the new width — rare)
+            grow = -(-(c_new + max(16384, c_new // 8)) // 1024) * 1024
+            self._msa_d = jnp.pad(
+                self._msa_d, ((0, 0), (0, grow - self._cpad)),
+                constant_values=np.int8(5))
+            self._counts_d = jnp.pad(
+                self._counts_d, ((0, grow - self._cpad), (0, 0)))
+            self._cpad = grow
         newpos_of_ins = (pos_kept
                          + np.arange(n, dtype=np.int64)).astype(
             np.int32)
