@@ -145,6 +145,33 @@ def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _apply_jit():
+    """Donated in-place apply of externally-computed rewritten rows
+    (the exact-fallback path): row scatter + histogram delta."""
+    import jax
+    import jax.numpy as jnp
+
+    def apply(msa_d, counts_d, rows, new_rows):
+        rows_ok = rows >= 0
+        rows_old = jnp.take(msa_d, jnp.maximum(rows, 0), axis=0)
+        rows_old = jnp.where(rows_ok[:, None], rows_old, jnp.int8(5))
+        new_rows = jnp.where(rows_ok[:, None], new_rows, jnp.int8(5))
+        sym = jnp.arange(6, dtype=jnp.int32)[None, None, :]
+
+        def hist(r):
+            eq = r.astype(jnp.int32)[:, :, None] == sym
+            return eq.sum(axis=0, dtype=jnp.int32)
+
+        delta = hist(new_rows) - hist(rows_old)
+        msa_d = msa_d.at[jnp.where(rows_ok, rows,
+                                   msa_d.shape[0])].set(
+            new_rows, mode="drop")
+        return msa_d, counts_d + delta
+
+    return jax.jit(apply, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
 def _regather_jit(npad: int, interpret: bool):
     """One device op for the sweep-end splice + empty-column drop:
     gather the surviving/new column order, build the inserted columns
@@ -214,6 +241,7 @@ class DeviceResidentRealigner(BatchedRealigner):
         self._ncols = None
         self._cpad = None
         self._lengths_all = None
+        self._exact_blocks: set = set()   # block ids on the exact path
 
     # ------------------------------------------------ device lifecycle
 
@@ -315,25 +343,28 @@ class DeviceResidentRealigner(BatchedRealigner):
             return
         if self._msa_d is None:
             self._upload()
-        while True:
+        for _ in range(8):
             snap_m = self._msa_d + 0      # sweep-start snapshot for
             snap_c = self._counts_d + 0   # the drift-violation redo
             snap_n = self._ncols
-            ok = self._try_sweep()
-            if ok:
-                break
-            # a block's column-path drift exceeded the fixed staircase
-            # slack: restore, raise the slack one rung, redo the sweep
+            violations = self._try_sweep()
+            if not violations:
+                return
+            # some blocks' column-path drift exceeded the staircase
+            # slack (short fragments spread over wide spans can drift
+            # arbitrarily): restore the sweep-start state and redo the
+            # sweep with those blocks routed through the exact banded
+            # fill — the same per-block fallback the host engine uses
+            # (realigner._realign_block widen-ladder overflow)
             self._msa_d, self._counts_d = snap_m, snap_c
             self._ncols = snap_n
-            ladder = [v for v in self.WIDEN_LADDER
-                      if v > self._widen]
-            if not ladder:
-                raise RuntimeError("column-path drift exceeds the "
-                                   "maximum staircase slack")
-            self._widen = ladder[0]
+            self._exact_blocks |= violations
+        raise RuntimeError("drift fallback did not converge")
 
-    def _try_sweep(self) -> bool:
+    def _try_sweep(self) -> set:
+        """One sweep; returns the (possibly empty) set of block ids
+        whose drift violated the staircase slack (the caller restores
+        and redoes with those on the exact path)."""
         import jax.numpy as jnp
 
         r = self.msa.shape[0]
@@ -355,9 +386,11 @@ class DeviceResidentRealigner(BatchedRealigner):
 
         pending: list = []
         fetches: list = []
+        violations: set = set()
         cap = self._flush_cap
 
         for k0 in range(0, r, bs):
+            bid = k0 // bs
             rows = order[k0:k0 + bs].astype(np.int32)
             bl = lengths_all[rows]
             bpad = -(-len(rows) // quant) * quant
@@ -366,13 +399,17 @@ class DeviceResidentRealigner(BatchedRealigner):
                     [rows, np.full(bpad - len(rows), -1, np.int32)])
                 bl = np.concatenate(
                     [bl, np.zeros(bpad - len(bl), np.int32)])
-            lpad = bucket(max(1, int(bl.max())))
-            step = _jits(self.bandwidth, self.chunk, self._widen,
-                         lpad, self._interpret)
-            self._msa_d, self._counts_d, iyb, inn, best, drift = step(
-                self._msa_d, self._counts_d, jnp.asarray(rows),
-                jnp.asarray(bl), np.int32(self._ncols))
-            fetches.append((rows, iyb, inn, drift))
+            if bid in self._exact_blocks:
+                self._exact_block(rows, bl, pending)
+            else:
+                lpad = bucket(max(1, int(bl.max())))
+                step = _jits(self.bandwidth, self.chunk, self._widen,
+                             lpad, self._interpret)
+                (self._msa_d, self._counts_d, iyb, inn, best,
+                 drift) = step(
+                    self._msa_d, self._counts_d, jnp.asarray(rows),
+                    jnp.asarray(bl), np.int32(self._ncols))
+                fetches.append((bid, rows, iyb, inn, drift))
 
             # drain fetches a few blocks behind the dispatch horizon:
             # the pipeline never stalls (those results are long done),
@@ -382,12 +419,14 @@ class DeviceResidentRealigner(BatchedRealigner):
             # valid flush points of the same Jacobi sweep; paper-scale
             # sweeps stay under the cap entirely)
             while len(fetches) > 3:
-                if not self._drain(fetches.pop(0), pending):
-                    return False
+                self._drain(fetches.pop(0), pending, violations)
+            if violations:
+                return violations
             if len(pending) >= cap:
                 while fetches:
-                    if not self._drain(fetches.pop(0), pending):
-                        return False
+                    self._drain(fetches.pop(0), pending, violations)
+                if violations:
+                    return violations
                 # mid-sweep flushes also drop empty columns here
                 # (the host path splices only): it bounds the
                 # transient width in insert-heavy early sweeps, at the
@@ -398,17 +437,19 @@ class DeviceResidentRealigner(BatchedRealigner):
                 pending = []
 
         while fetches:
-            if not self._drain(fetches.pop(0), pending):
-                return False
+            self._drain(fetches.pop(0), pending, violations)
+        if violations:
+            return violations
         self._flush_device(pending, drop_empty=True)
-        return True
+        return violations
 
-    def _drain(self, item, pending) -> bool:
+    def _drain(self, item, pending, violations: set) -> None:
         """Materialize one block's async outputs into the pending
-        insert list; False on a drift violation."""
-        rows, iyb, inn, drift = item
+        insert list; drift violations land in `violations`."""
+        bid, rows, iyb, inn, drift = item
         if int(np.asarray(drift)) > self._widen * self.chunk:
-            return False
+            violations.add(bid)
+            return
         inn = np.asarray(inn)
         if (inn > 0).any():
             if (inn > MAX_INSERTS_FETCH).any():
@@ -421,7 +462,64 @@ class DeviceResidentRealigner(BatchedRealigner):
                 for o in range(int(inn[b])):
                     v = int(iyb[b, o])
                     pending.append((v >> 2, int(k), o, v & 3))
-        return True
+
+    def _exact_block(self, rows, bl, pending) -> None:
+        """Host-orchestrated exact-band realignment for a block whose
+        column-path drift exceeds any staircase slack (the host
+        engine's widen-ladder overflow fallback): fetch the block's
+        rows and counts, run the exact banded fill + generic backtrack
+        on device, and apply the result through a donated device op.
+        A sync point per such block — they are rare (short fragments
+        spread over wide spans, a few blocks per early sweep)."""
+        import jax.numpy as jnp
+
+        from ..ops import banded_realign as br
+        rows_cl = np.maximum(rows, 0)
+        rows_old = np.asarray(jnp.take(self._msa_d,
+                                       jnp.asarray(rows_cl), axis=0))
+        rows_old = np.where((rows >= 0)[:, None], rows_old,
+                            np.int8(5)).astype(np.int8)
+        counts = np.asarray(self._counts_d)
+        bs = len(rows)
+        lmax = max(1, int(bl.max()))
+        lpad = -(-lmax // 256) * 256
+        seqs = np.zeros((bs, lpad), np.int8)
+        ways = np.zeros((bs, lpad), np.int32)
+        for b in range(bs):
+            if rows[b] < 0 or bl[b] == 0:
+                continue
+            pos = np.nonzero(rows_old[b] < 4)[0]
+            seqs[b, :len(pos)] = rows_old[b][pos]
+            ways[b, :len(pos)] = pos
+            if len(pos) < lpad:
+                ways[b, len(pos):] = pos[-1]
+        bh = self.bandwidth // 2
+        codes, fband, fanf = br.banded_fill(
+            counts, rows_old, seqs, ways, np.asarray(bl, np.int32),
+            np.int32(self._ncols), bandwidth=self.bandwidth)
+        anf_full = np.maximum(0, ways - bh).astype(np.int32)
+        last_way = ways[np.arange(bs), np.maximum(bl - 1, 0)]
+        entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
+            codes, fband, fanf, seqs, anf_full, entry_bound,
+            np.asarray(bl, np.int32), np.int32(self._ncols),
+            cpad=self._cpad, bandwidth=self.bandwidth)
+        apply_fn = _apply_jit()
+        self._msa_d, self._counts_d = apply_fn(
+            self._msa_d, self._counts_d, jnp.asarray(rows), new_rows)
+        inn = np.asarray(inn)
+        if (inn >= br.MAX_INSERTS).any():
+            raise RuntimeError("insert buffer overflow in exact "
+                               "fallback block")
+        if (inn > 0).any():
+            iy = np.asarray(iy)
+            ib = np.asarray(ib)
+            for b, k in enumerate(rows):
+                if k < 0:
+                    continue
+                for o in range(int(inn[b])):
+                    pending.append((int(iy[b, o]), int(k), o,
+                                    int(ib[b, o])))
 
     def _flush_device(self, pending, drop_empty: bool) -> None:
         """Sweep-end (or cap-triggered) splice + optional empty-column

@@ -90,6 +90,25 @@ def test_resident_widen_is_result_neutral():
             np.testing.assert_array_equal(out, base[1])
 
 
+def test_resident_exact_fallback_parity():
+    """A row whose bases are spread so thin that its column-path drift
+    exceeds any staircase slack must route its block through the exact
+    banded fill (the host engine's own fallback) and still match the
+    host trajectory."""
+    msa = make_msa(5, rows=8, tlen=280)
+    # plant a pathological sparse row: one base every 15 columns
+    sparse = np.full(280, 5, np.int8)
+    rng = np.random.default_rng(0)
+    sparse[::15] = rng.integers(0, 4, len(sparse[::15]))
+    msa[3] = sparse
+    band, chunk, bs, sweeps = 96, 32, 4, 3
+    log_h, msa_h = _run_host(msa, sweeps, bs, band, chunk)
+    log_d, msa_d = _run_resident(msa, sweeps, bs, band, chunk,
+                                 widen=4)
+    assert log_h == log_d
+    np.testing.assert_array_equal(msa_h, msa_d)
+
+
 def test_resident_through_realign_batched():
     """realign_batched routes pallas+staircase to the resident engine
     (RR_RESIDENT default); the full loop — best tracking, anneal,
