@@ -1114,6 +1114,15 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
 
     import threading
     writer: list = [None]         # in-flight best-MSA write thread
+    # on a device-resident engine each write first DOWNLOADS the MSA
+    # through the relay (~1-2 min packed): write at most once per
+    # interval — the files are crash recovery, a few minutes of
+    # staleness is fine; the final state is always written on return
+    write_interval = (float(os.environ.get("RR_BEST_WRITE_S", "600"))
+                      if getattr(eng, "SNAPSHOT_COSTLY", False)
+                      else 0.0)
+    last_write = [-float("inf")]
+    write_stale = [False]         # best_msa newer than the last write
 
     def _write_best(snapshot, pair, rnd):
         snapshot = np.asarray(snapshot)   # lazy device snapshots
@@ -1139,14 +1148,20 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
         if pair < best:
             best = pair
             best_msa = eng.best_snapshot()
+            write_stale[0] = True
             if write and (out_path is not None
                           or checkpoint_path is not None):
+                if time.perf_counter() - last_write[0] \
+                        < write_interval:
+                    return True
                 # overlap the multi-GB best-MSA write with the next
                 # sweep (numpy encode + file I/O both release the GIL);
                 # rounds run minutes, writes seconds, so at most one is
                 # ever in flight
                 if writer[0] is not None:
                     writer[0].join()
+                last_write[0] = time.perf_counter()
+                write_stale[0] = False
                 writer[0] = threading.Thread(
                     target=_write_best, args=(best_msa, best, rounds),
                     daemon=True)
@@ -1183,6 +1198,10 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     check_improved()
     if writer[0] is not None:     # files must be complete on return
         writer[0].join()
+    if write_stale[0] and best_msa is not None \
+            and (out_path is not None or checkpoint_path is not None):
+        # a throttled (or final-round) improvement was never written
+        _write_best(best_msa, best, rounds)
     if stats is not None:
         dt = time.perf_counter() - t0
         stats.update(rounds=rounds, wall_s=dt, dp_cells=cells,

@@ -56,6 +56,81 @@ MAX_INSERTS_FETCH = 512   # insert slots fetched per block (per sweep
                           # a row inserts ~0-5 columns; overflow rows
                           # trigger a full-list refetch)
 
+# Bulk host<->device transfers move in fixed-extent row chunks: the
+# relay wedges (or collapses to ~45 MB/s) on single transfers past
+# ~2 GB, and its download direction runs at ~7 MB/s single-stream /
+# ~14 MB/s with a few parallel streams (uploads: ~1 GB/s). Chunking
+# with a traced start offset keeps it to ONE compile per shape; full
+# downloads additionally pack two cells per byte on device first.
+_XFER_CHUNK_MB = int(os.environ.get("RR_XFER_CHUNK_MB", "64"))
+_XFER_THREADS = int(os.environ.get("RR_XFER_THREADS", "4"))
+
+
+@functools.lru_cache(maxsize=None)
+def _xfer_jits():
+    import jax
+    import jax.numpy as jnp
+
+    put = jax.jit(
+        lambda buf, chunk, s: jax.lax.dynamic_update_slice(
+            buf, chunk, (s, 0)),
+        donate_argnums=(0,))
+    grab = jax.jit(
+        lambda dev, s, cr: jax.lax.dynamic_slice_in_dim(
+            dev, s, cr, axis=0),
+        static_argnums=(2,))
+
+    def _pack(m):        # [R, C] int8 cells 0..5 (C even) -> uint8
+        a = m[:, 0::2].astype(jnp.uint8)
+        b = m[:, 1::2].astype(jnp.uint8)
+        return a * jnp.uint8(6) + b          # 0..35: two cells/byte
+
+    return put, grab, jax.jit(_pack)
+
+
+def _chunk_starts(r: int, cr: int) -> list:
+    """Fixed-extent chunk starts covering [0, r); the last start is
+    clamped so trailing rows are covered by an overlapping chunk
+    (overlap rows carry identical data on both writes/reads)."""
+    starts = list(range(0, max(r - cr, 0) + 1, cr))
+    if starts[-1] + cr < r:
+        starts.append(r - cr)
+    return starts
+
+
+def _download_rows(dev) -> np.ndarray:
+    """Parallel chunked device->host copy of a 2-D array."""
+    import concurrent.futures as cf
+    _, grab, _ = _xfer_jits()
+    r, w = dev.shape
+    itemsize = np.dtype(dev.dtype).itemsize
+    cr = max(1, min(r, (_XFER_CHUNK_MB << 20) // max(1, w * itemsize)))
+    out = np.empty((r, w), dev.dtype)
+    starts = _chunk_starts(r, cr)
+
+    def fetch(s):
+        out[s:s + cr] = np.asarray(grab(dev, s, cr))
+
+    if _XFER_THREADS > 1 and len(starts) > 1:
+        with cf.ThreadPoolExecutor(_XFER_THREADS) as ex:
+            list(ex.map(fetch, starts))
+    else:
+        for s in starts:
+            fetch(s)
+    return out
+
+
+def _unpack_host(packed: np.ndarray, ncols: int) -> np.ndarray:
+    """Invert _xfer_jits' _pack on host: [R, P] uint8 -> [R, ncols]
+    int8 (writable, freshly allocated)."""
+    r = packed.shape[0]
+    out = np.empty((r, ncols), np.int8)
+    ne = -(-ncols // 2)
+    out[:, 0::2] = (packed[:, :ne] // 6).astype(np.int8)
+    no = ncols // 2
+    out[:, 1::2] = (packed[:, :no] % 6).astype(np.int8)
+    return out
+
 
 @functools.lru_cache(maxsize=None)
 def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
@@ -221,6 +296,10 @@ class DeviceResidentRealigner(BatchedRealigner):
     else should use the base class.
     """
 
+    # a best-MSA snapshot costs a multi-GB relay download to
+    # materialize: the realign loop throttles crash-recovery writes
+    SNAPSHOT_COSTLY = True
+
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
                  block_rows: int = 64, mode: str = "staircase",
                  chunk: int = 256, kernel: str = "pallas", mesh=None,
@@ -255,11 +334,18 @@ class DeviceResidentRealigner(BatchedRealigner):
         # with on-demand growth (_flush_device) as the backstop
         slack = max(32768, c // 3)
         cpad = -(-(c + slack) // 1024) * 1024
-        msa_p = np.full((r, cpad), 5, np.int8)
-        msa_p[:, :c] = self.msa
+        # chunked upload into a device-initialized buffer: no multi-GB
+        # host intermediate, no single >2 GB relay transfer
+        put, _, _ = _xfer_jits()
+        buf = jnp.full((r, cpad), jnp.int8(5))
+        cr = max(1, min(r, (_XFER_CHUNK_MB << 20) // cpad))
+        for s in _chunk_starts(r, cr):
+            chunk = np.full((min(cr, r), cpad), 5, np.int8)
+            chunk[:, :c] = self.msa[s:s + cr]
+            buf = put(buf, chunk, s)
+        self._msa_d = buf
         cnt_p = np.zeros((cpad, 6), np.int32)
         cnt_p[:c] = self.counts
-        self._msa_d = jax.device_put(jnp.asarray(msa_p))
         self._counts_d = jax.device_put(jnp.asarray(cnt_p))
         self._ncols = c
         self._cpad = cpad
@@ -268,13 +354,20 @@ class DeviceResidentRealigner(BatchedRealigner):
             self._len_order = np.argsort(-self._lengths_all,
                                          kind="stable")
 
+    def _fetch_msa_host(self) -> np.ndarray:
+        """The resident MSA as a fresh writable host array [R, ncols]:
+        packed to two cells/byte on device, downloaded in parallel row
+        chunks, unpacked on host — ~4x faster than a raw single-stream
+        download through the relay."""
+        _, _, pack = _xfer_jits()
+        packed = _download_rows(pack(self._msa_d))
+        return _unpack_host(packed, self._ncols)
+
     def _sync_host(self):
         """Materialize the device state back into the host mirrors."""
         if self._msa_d is None:
             return
-        # np.asarray of a device array is read-only; downstream engines
-        # mutate in place, so materialize a writable copy
-        self.msa = np.array(np.asarray(self._msa_d)[:, :self._ncols])
+        self.msa = self._fetch_msa_host()
         self.counts = np.asarray(self._counts_d)[:self._ncols].astype(
             np.int64)
         self._msa_d = self._counts_d = None
@@ -301,15 +394,15 @@ class DeviceResidentRealigner(BatchedRealigner):
         copy otherwise."""
         if self._msa_d is None:
             return self.msa.copy()
-        return _LazySnapshot(self._msa_d, self._ncols)
+        _, _, pack = _xfer_jits()
+        return _LazySnapshot(pack(self._msa_d), self._ncols)
 
     def validate(self):
         from .realigner import validate_counts
         if self._msa_d is None:
             validate_counts(self.msa, self.counts)
             return
-        msa = np.asarray(self._msa_d)[:, :self._ncols]
-        validate_counts(msa, np.asarray(
+        validate_counts(self._fetch_msa_host(), np.asarray(
             self._counts_d)[:self._ncols].astype(np.int64))
 
     def respawn(self, msa, block_rows):
@@ -388,9 +481,17 @@ class DeviceResidentRealigner(BatchedRealigner):
         fetches: list = []
         violations: set = set()
         cap = self._flush_cap
+        log_every = int(os.environ.get("RR_SWEEP_LOG", "0") or 0)
+        import time as _time
+        t_start = _time.perf_counter()
 
         for k0 in range(0, r, bs):
             bid = k0 // bs
+            if log_every and bid % log_every == 0:
+                print(f"[resident] block {bid}/{-(-r // bs)} "
+                      f"elapsed {_time.perf_counter() - t_start:.0f}s "
+                      f"pending {len(pending)} widen {self._widen}",
+                      flush=True)
             rows = order[k0:k0 + bs].astype(np.int32)
             bl = lengths_all[rows]
             bpad = -(-len(rows) // quant) * quant
@@ -420,13 +521,15 @@ class DeviceResidentRealigner(BatchedRealigner):
             # sweeps stay under the cap entirely)
             while len(fetches) > 3:
                 self._drain(fetches.pop(0), pending, violations)
-            if violations:
-                return violations
-            if len(pending) >= cap:
+            # on a violation the sweep is already doomed (that block's
+            # apply corrupted the counts): keep dispatching to LEARN
+            # every violating block's drift in this one pass (their
+            # work is discarded on the redo anyway), but stop splicing
+            if not violations and len(pending) >= cap:
                 while fetches:
                     self._drain(fetches.pop(0), pending, violations)
                 if violations:
-                    return violations
+                    continue
                 # mid-sweep flushes also drop empty columns here
                 # (the host path splices only): it bounds the
                 # transient width in insert-heavy early sweeps, at the
@@ -602,18 +705,20 @@ class DeviceResidentRealigner(BatchedRealigner):
 
 
 class _LazySnapshot:
-    """A device-side MSA copy that materializes on np.asarray — lets
-    the best-MSA writer thread pay the download off the sweep path."""
+    """A packed device-side MSA copy (two cells/byte, half the HBM of
+    a raw snapshot) that materializes on np.asarray — lets the
+    best-MSA writer thread pay the download off the sweep path."""
 
-    def __init__(self, msa_d, ncols):
-        self._dev = msa_d + 0            # decouple from donated buffer
+    def __init__(self, packed_d, ncols):
+        self._dev = packed_d             # fresh pack output: decoupled
         self._ncols = ncols
-        self.shape = (msa_d.shape[0], ncols)
+        self.shape = (packed_d.shape[0], ncols)
         self._np = None
 
     def __array__(self, dtype=None, copy=None):
         if self._np is None:
-            self._np = np.asarray(self._dev)[:, :self._ncols]
+            self._np = _unpack_host(_download_rows(self._dev),
+                                    self._ncols)
             self._dev = None
         a = self._np
         return a.astype(dtype) if dtype is not None else a

@@ -50,6 +50,11 @@ def log_stage(workdir, stage, dt, extra=None):
 
 
 def main():
+    import faulthandler
+
+    # periodic all-thread stack dumps to stderr: a wedged device
+    # dispatch through the relay looks like a silent hang otherwise
+    faulthandler.dump_traceback_later(900, repeat=True)
     from repeatresolver_tpu.utils.hostmem import tune_allocator
     tune_allocator()
     ap = argparse.ArgumentParser()
