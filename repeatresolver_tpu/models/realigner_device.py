@@ -567,22 +567,28 @@ class DeviceResidentRealigner(BatchedRealigner):
                     pending.append((v >> 2, int(k), o, v & 3))
 
     def _exact_block(self, rows, bl, pending) -> None:
-        """Host-orchestrated exact-band realignment for a block whose
-        column-path drift exceeds any staircase slack (the host
-        engine's widen-ladder overflow fallback): fetch the block's
-        rows and counts, run the exact banded fill + generic backtrack
-        on device, and apply the result through a donated device op.
-        A sync point per such block — they are rare (short fragments
-        spread over wide spans, a few blocks per early sweep)."""
+        """Exact-band realignment for a block whose column-path drift
+        exceeds any staircase slack, via the NATIVE HOST engine — the
+        same code the host path's widen-ladder overflow falls back to
+        (realigner._realign_block kernel="native" branch), so the math
+        is parity-identical by construction. Fetch the block's rows
+        (~10 MB) and counts (~4 MB), realign on host, push the
+        rewritten rows back through the donated device apply. A sync
+        point per such block — they are rare (short fragments spread
+        over wide spans, a few blocks per early sweep), and the device
+        alternative (an exact gather-based fill) materializes
+        [B, L, W] codes — multi-GB at paper-scale row lengths."""
         import jax.numpy as jnp
 
-        from ..ops import banded_realign as br
+        from ..utils import native as nat
         rows_cl = np.maximum(rows, 0)
         rows_old = np.asarray(jnp.take(self._msa_d,
                                        jnp.asarray(rows_cl), axis=0))
         rows_old = np.where((rows >= 0)[:, None], rows_old,
                             np.int8(5)).astype(np.int8)
-        counts = np.asarray(self._counts_d)
+        c = self._ncols
+        counts = np.asarray(self._counts_d)[:c].astype(np.int32)
+        rows_host = np.ascontiguousarray(rows_old[:, :c])
         bs = len(rows)
         lmax = max(1, int(bl.max()))
         lpad = -(-lmax // 256) * 256
@@ -591,32 +597,31 @@ class DeviceResidentRealigner(BatchedRealigner):
         for b in range(bs):
             if rows[b] < 0 or bl[b] == 0:
                 continue
-            pos = np.nonzero(rows_old[b] < 4)[0]
-            seqs[b, :len(pos)] = rows_old[b][pos]
+            pos = np.nonzero(rows_host[b] < 4)[0]
+            seqs[b, :len(pos)] = rows_host[b][pos]
             ways[b, :len(pos)] = pos
             if len(pos) < lpad:
                 ways[b, len(pos):] = pos[-1]
-        bh = self.bandwidth // 2
-        codes, fband, fanf = br.banded_fill(
-            counts, rows_old, seqs, ways, np.asarray(bl, np.int32),
-            np.int32(self._ncols), bandwidth=self.bandwidth)
-        anf_full = np.maximum(0, ways - bh).astype(np.int32)
-        last_way = ways[np.arange(bs), np.maximum(bl - 1, 0)]
-        entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
-        new_rows, best, iy, ib, inn = br.entry_and_backtrack(
-            codes, fband, fanf, seqs, anf_full, entry_bound,
-            np.asarray(bl, np.int32), np.int32(self._ncols),
-            cpad=self._cpad, bandwidth=self.bandwidth)
+        cap = 512
+        while True:
+            res = nat.realign_block(counts, rows_host, seqs, ways,
+                                    np.asarray(bl, np.int32),
+                                    self.bandwidth, ins_cap=cap)
+            if res is None:
+                raise RuntimeError(
+                    "native lib unavailable for the exact fallback")
+            new_rows, best, iy, ib, inn = res
+            if (inn >= cap).any():
+                cap = max(cap * 2, int(inn.max()) + 1)
+                continue
+            break
+        nr_p = np.full((bs, self._cpad), 5, np.int8)
+        nr_p[:, :c] = new_rows
         apply_fn = _apply_jit()
         self._msa_d, self._counts_d = apply_fn(
-            self._msa_d, self._counts_d, jnp.asarray(rows), new_rows)
-        inn = np.asarray(inn)
-        if (inn >= br.MAX_INSERTS).any():
-            raise RuntimeError("insert buffer overflow in exact "
-                               "fallback block")
+            self._msa_d, self._counts_d, jnp.asarray(rows),
+            jnp.asarray(nr_p))
         if (inn > 0).any():
-            iy = np.asarray(iy)
-            ib = np.asarray(ib)
             for b, k in enumerate(rows):
                 if k < 0:
                     continue
