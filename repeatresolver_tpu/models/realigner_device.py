@@ -315,6 +315,7 @@ class DeviceResidentRealigner(BatchedRealigner):
             interpret = jax.default_backend() == "cpu"
         self._interpret = bool(interpret)
         self._widen = int(os.environ.get("RR_RESIDENT_WIDEN", "12"))
+        self._block_widen = None          # per-block adaptive slack
         self._msa_d = None                # device [R, CPAD] int8
         self._counts_d = None             # device [CPAD, 6] int32
         self._ncols = None
@@ -443,21 +444,25 @@ class DeviceResidentRealigner(BatchedRealigner):
             violations = self._try_sweep()
             if not violations:
                 return
-            # some blocks' column-path drift exceeded the staircase
-            # slack (short fragments spread over wide spans can drift
-            # arbitrarily): restore the sweep-start state and redo the
-            # sweep with those blocks routed through the exact banded
-            # fill — the same per-block fallback the host engine uses
-            # (realigner._realign_block widen-ladder overflow)
+            # some blocks' column-path drift exceeded their staircase
+            # slack: restore the sweep-start state and redo. Blocks
+            # whose drift any ladder rung covers were already bumped by
+            # _drain's adaptation and retry on the (wider) staircase;
+            # the rest (short fragments spread over wide spans drift
+            # arbitrarily) route through the exact host fallback — the
+            # same ladder-overflow split the host engine makes
+            # (realigner._realign_block)
             self._msa_d, self._counts_d = snap_m, snap_c
             self._ncols = snap_n
-            self._exact_blocks |= violations
+            lad_max = BatchedRealigner.WIDEN_LADDER[-1] * self.chunk
+            self._exact_blocks |= {
+                bid for bid, dv in violations.items() if dv > lad_max}
         raise RuntimeError("drift fallback did not converge")
 
-    def _try_sweep(self) -> set:
-        """One sweep; returns the (possibly empty) set of block ids
-        whose drift violated the staircase slack (the caller restores
-        and redoes with those on the exact path)."""
+    def _try_sweep(self) -> dict:
+        """One sweep; returns a (possibly empty) {block id: drift}
+        map for blocks whose drift violated their staircase slack (the
+        caller restores and redoes — wider, or on the exact path)."""
         import jax.numpy as jnp
 
         r = self.msa.shape[0]
@@ -466,6 +471,15 @@ class DeviceResidentRealigner(BatchedRealigner):
         lengths_all = self._lengths_all
         from ..ops import pallas_realign as pr
         quant = pr.BR
+        if self._block_widen is None:
+            # sweep 0 runs everything at the configured slack; every
+            # later block runs one ladder rung above its last measured
+            # drift (_drain adapts) — at paper scale drift sits near
+            # 4.6x chunk, so the adaptive window is ~2.5 kB-wide
+            # instead of the 4 kB-wide worst-case default: ~1.6x less
+            # fill work per sweep for the same (slack-neutral) result
+            self._block_widen = np.full(-(-r // bs), self._widen,
+                                        np.int32)
 
         def bucket(x, base=256, steps=(0.75,)):
             v = base
@@ -479,7 +493,7 @@ class DeviceResidentRealigner(BatchedRealigner):
 
         pending: list = []
         fetches: list = []
-        violations: set = set()
+        violations: dict = {}
         cap = self._flush_cap
         log_every = int(os.environ.get("RR_SWEEP_LOG", "0") or 0)
         import time as _time
@@ -490,7 +504,9 @@ class DeviceResidentRealigner(BatchedRealigner):
             if log_every and bid % log_every == 0:
                 print(f"[resident] block {bid}/{-(-r // bs)} "
                       f"elapsed {_time.perf_counter() - t_start:.0f}s "
-                      f"pending {len(pending)} widen {self._widen}",
+                      f"pending {len(pending)} widen "
+                      f"{int(self._block_widen.min())}-"
+                      f"{int(self._block_widen.max())}",
                       flush=True)
             rows = order[k0:k0 + bs].astype(np.int32)
             bl = lengths_all[rows]
@@ -504,13 +520,14 @@ class DeviceResidentRealigner(BatchedRealigner):
                 self._exact_block(rows, bl, pending)
             else:
                 lpad = bucket(max(1, int(bl.max())))
-                step = _jits(self.bandwidth, self.chunk, self._widen,
+                wd = int(self._block_widen[bid])
+                step = _jits(self.bandwidth, self.chunk, wd,
                              lpad, self._interpret)
                 (self._msa_d, self._counts_d, iyb, inn, best,
                  drift) = step(
                     self._msa_d, self._counts_d, jnp.asarray(rows),
                     jnp.asarray(bl), np.int32(self._ncols))
-                fetches.append((bid, rows, iyb, inn, drift))
+                fetches.append((bid, rows, iyb, inn, drift, wd))
 
             # drain fetches a few blocks behind the dispatch horizon:
             # the pipeline never stalls (those results are long done),
@@ -546,12 +563,22 @@ class DeviceResidentRealigner(BatchedRealigner):
         self._flush_device(pending, drop_empty=True)
         return violations
 
-    def _drain(self, item, pending, violations: set) -> None:
+    def _drain(self, item, pending, violations: dict) -> None:
         """Materialize one block's async outputs into the pending
-        insert list; drift violations land in `violations`."""
-        bid, rows, iyb, inn, drift = item
-        if int(np.asarray(drift)) > self._widen * self.chunk:
-            violations.add(bid)
+        insert list; drift violations land in `violations`. Every
+        drain also adapts the block's slack for its NEXT dispatch: one
+        ladder rung above the rung covering the measured drift (drift
+        moves slowly sweep-to-sweep; the margin rung absorbs it, and a
+        rare miss costs one redo pass)."""
+        bid, rows, iyb, inn, drift, wd = item
+        dv = int(np.asarray(drift))
+        t = self.chunk
+        lad = BatchedRealigner.WIDEN_LADDER
+        i = next((j for j, v in enumerate(lad) if v * t >= dv), None)
+        if i is not None:
+            self._block_widen[bid] = lad[min(i + 1, len(lad) - 1)]
+        if dv > wd * t:
+            violations[bid] = dv
             return
         inn = np.asarray(inn)
         if (inn > 0).any():
