@@ -133,9 +133,16 @@ def _unpack_host(packed: np.ndarray, ncols: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
+def _jits(bandwidth: int, chunk: int, widen: int, lpad: int, bq: int,
           interpret: bool):
-    """Compiled device ops for one (band, chunk, widen, lpad) combo."""
+    """Compiled device ops for one (band, chunk, widen, lpad, block)
+    combo. The step reads its block's rows and lengths from
+    device-resident order arrays (a traced offset — no per-block
+    upload) and returns ONE packed int32 fetch buffer
+    [bq*MAX_INSERTS_FETCH insert codes | bq insert counts | drift]:
+    through the relay every small transfer costs a ~25 ms round trip,
+    so the per-block host traffic is exactly one execute and one
+    download."""
     import jax
     import jax.numpy as jnp
 
@@ -146,8 +153,10 @@ def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
     bh = bandwidth // 2
     w2 = bandwidth + widen * chunk
 
-    def block_step(msa_d, counts_d, rows, lengths, ncols):
-        b = rows.shape[0]
+    def block_step(msa_d, counts_d, order_d, len_d, k0, ncols):
+        rows = jax.lax.dynamic_slice_in_dim(order_d, k0, bq)
+        lengths = jax.lax.dynamic_slice_in_dim(len_d, k0, bq)
+        b = bq
         cpad = msa_d.shape[1]
         rows_ok = rows >= 0
         rows_cl = jnp.maximum(rows, 0)
@@ -212,7 +221,10 @@ def _jits(bandwidth: int, chunk: int, widen: int, lpad: int,
         counts_d = counts_d + delta
         iyb = (iy[:, :MAX_INSERTS_FETCH] << 2) | ib[
             :, :MAX_INSERTS_FETCH].astype(jnp.int32)
-        return msa_d, counts_d, iyb, inn, best, drift
+        out = jnp.concatenate(
+            [iyb.reshape(-1), inn.astype(jnp.int32),
+             drift.reshape(1)])
+        return msa_d, counts_d, out
 
     step = jax.jit(block_step, donate_argnums=(0, 1))
 
@@ -316,6 +328,8 @@ class DeviceResidentRealigner(BatchedRealigner):
         self._interpret = bool(interpret)
         self._widen = int(os.environ.get("RR_RESIDENT_WIDEN", "12"))
         self._block_widen = None          # per-block adaptive slack
+        self._ord_bs = None               # block layout bookkeeping
+        self._order_d = self._len_d = None
         self._msa_d = None                # device [R, CPAD] int8
         self._counts_d = None             # device [CPAD, 6] int32
         self._ncols = None
@@ -354,6 +368,63 @@ class DeviceResidentRealigner(BatchedRealigner):
         if getattr(self, "_len_order", None) is None:
             self._len_order = np.argsort(-self._lengths_all,
                                          kind="stable")
+        self._order_d = self._len_d = None  # rebuilt lazily
+
+    def _ensure_order_device(self):
+        """Device-resident block layout: each block's row ids and
+        lengths at stride bq (bs rounded up to the Pallas row quant),
+        short/padding lanes -1/0 — so a block step needs only a traced
+        offset, not a per-block index upload. Also owns the per-block
+        adaptive-slack array: on a block-size change (the anneal
+        mutates block_rows) each new block inherits the max slack of
+        the old blocks its rows came from, and exact-path flags
+        propagate to every new block containing a flagged row."""
+        import jax
+        bs = self.block_rows
+        if self._ord_bs == bs and self._order_d is not None:
+            return
+        from ..ops import pallas_realign as pr
+        quant = pr.BR
+        bq = -(-bs // quant) * quant
+        r = self.msa.shape[0]
+        nb = -(-r // bs)
+        if self._block_widen is None:
+            # sweep 0 runs everything at the configured slack; every
+            # later block runs one ladder rung above its last measured
+            # drift (_drain adapts) — at paper scale drift sits near
+            # 4.6x chunk, so the adaptive window is ~2.5 kB-wide
+            # instead of the 4 kB worst case: ~1.6x less fill work per
+            # sweep for the same (slack-neutral) result
+            self._block_widen = np.full(nb, self._widen, np.int32)
+        elif len(self._block_widen) != nb:
+            old_bs = self._ord_bs
+            per_row = np.repeat(self._block_widen, old_bs)[:r]
+            ex_row = np.zeros(r, bool)
+            for b in self._exact_blocks:
+                ex_row[b * old_bs:(b + 1) * old_bs] = True
+            neww = np.full(nb, self._widen, np.int32)
+            newex = set()
+            for bid in range(nb):
+                sl = slice(bid * bs, min((bid + 1) * bs, r))
+                neww[bid] = per_row[sl].max()
+                if ex_row[sl].any():
+                    newex.add(bid)
+            self._block_widen = neww
+            self._exact_blocks = newex
+        ordp = np.full(nb * bq, -1, np.int32)
+        lenp = np.zeros(nb * bq, np.int32)
+        for bid in range(nb):
+            blk = self._len_order[bid * bs:bid * bs + bs].astype(
+                np.int32)
+            ordp[bid * bq:bid * bq + len(blk)] = blk
+            lenp[bid * bq:bid * bq + len(blk)] = \
+                self._lengths_all[blk]
+        self._order_d = jax.device_put(ordp)
+        self._len_d = jax.device_put(lenp)
+        self._ord_host = ordp
+        self._len_host = lenp
+        self._ord_bs = bs
+        self._ord_bq = bq
 
     def _fetch_msa_host(self) -> np.ndarray:
         """The resident MSA as a fresh writable host array [R, ncols]:
@@ -463,23 +534,8 @@ class DeviceResidentRealigner(BatchedRealigner):
         """One sweep; returns a (possibly empty) {block id: drift}
         map for blocks whose drift violated their staircase slack (the
         caller restores and redoes — wider, or on the exact path)."""
-        import jax.numpy as jnp
-
         r = self.msa.shape[0]
         bs = self.block_rows
-        order = self._len_order
-        lengths_all = self._lengths_all
-        from ..ops import pallas_realign as pr
-        quant = pr.BR
-        if self._block_widen is None:
-            # sweep 0 runs everything at the configured slack; every
-            # later block runs one ladder rung above its last measured
-            # drift (_drain adapts) — at paper scale drift sits near
-            # 4.6x chunk, so the adaptive window is ~2.5 kB-wide
-            # instead of the 4 kB-wide worst-case default: ~1.6x less
-            # fill work per sweep for the same (slack-neutral) result
-            self._block_widen = np.full(-(-r // bs), self._widen,
-                                        np.int32)
 
         def bucket(x, base=256, steps=(0.75,)):
             v = base
@@ -499,35 +555,31 @@ class DeviceResidentRealigner(BatchedRealigner):
         import time as _time
         t_start = _time.perf_counter()
 
-        for k0 in range(0, r, bs):
-            bid = k0 // bs
+        self._ensure_order_device()
+        bq = self._ord_bq
+        nb = -(-r // bs)
+        for bid in range(nb):
             if log_every and bid % log_every == 0:
-                print(f"[resident] block {bid}/{-(-r // bs)} "
+                print(f"[resident] block {bid}/{nb} "
                       f"elapsed {_time.perf_counter() - t_start:.0f}s "
                       f"pending {len(pending)} widen "
                       f"{int(self._block_widen.min())}-"
                       f"{int(self._block_widen.max())}",
                       flush=True)
-            rows = order[k0:k0 + bs].astype(np.int32)
-            bl = lengths_all[rows]
-            bpad = -(-len(rows) // quant) * quant
-            if bpad != len(rows):
-                rows = np.concatenate(
-                    [rows, np.full(bpad - len(rows), -1, np.int32)])
-                bl = np.concatenate(
-                    [bl, np.zeros(bpad - len(bl), np.int32)])
+            rows = self._ord_host[bid * bq:(bid + 1) * bq]
+            bl = self._len_host[bid * bq:(bid + 1) * bq]
             if bid in self._exact_blocks:
                 self._exact_block(rows, bl, pending)
             else:
                 lpad = bucket(max(1, int(bl.max())))
                 wd = int(self._block_widen[bid])
                 step = _jits(self.bandwidth, self.chunk, wd,
-                             lpad, self._interpret)
-                (self._msa_d, self._counts_d, iyb, inn, best,
-                 drift) = step(
-                    self._msa_d, self._counts_d, jnp.asarray(rows),
-                    jnp.asarray(bl), np.int32(self._ncols))
-                fetches.append((bid, rows, iyb, inn, drift, wd))
+                             lpad, bq, self._interpret)
+                (self._msa_d, self._counts_d, out) = step(
+                    self._msa_d, self._counts_d, self._order_d,
+                    self._len_d, np.int32(bid * bq),
+                    np.int32(self._ncols))
+                fetches.append((bid, rows, out, wd))
 
             # drain fetches a few blocks behind the dispatch horizon:
             # the pipeline never stalls (those results are long done),
@@ -570,8 +622,10 @@ class DeviceResidentRealigner(BatchedRealigner):
         ladder rung above the rung covering the measured drift (drift
         moves slowly sweep-to-sweep; the margin rung absorbs it, and a
         rare miss costs one redo pass)."""
-        bid, rows, iyb, inn, drift, wd = item
-        dv = int(np.asarray(drift))
+        bid, rows, out, wd = item
+        out = np.asarray(out)
+        bqn = len(rows)
+        dv = int(out[-1])
         t = self.chunk
         lad = BatchedRealigner.WIDEN_LADDER
         i = next((j for j, v in enumerate(lad) if v * t >= dv), None)
@@ -580,12 +634,14 @@ class DeviceResidentRealigner(BatchedRealigner):
         if dv > wd * t:
             violations[bid] = dv
             return
-        inn = np.asarray(inn)
+        inn = out[bqn * MAX_INSERTS_FETCH:bqn * MAX_INSERTS_FETCH
+                  + bqn]
         if (inn > 0).any():
             if (inn > MAX_INSERTS_FETCH).any():
                 raise RuntimeError("insert fetch window exceeded; "
                                    "raise MAX_INSERTS_FETCH")
-            iyb = np.asarray(iyb)
+            iyb = out[:bqn * MAX_INSERTS_FETCH].reshape(
+                bqn, MAX_INSERTS_FETCH)
             for b, k in enumerate(rows):
                 if k < 0:
                     continue
