@@ -1075,13 +1075,20 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
 
     start_round = 0
     best = (1 << 62, 0)
+    ck_bs = 0
+    ck_widen_state = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         c = ckpt.RealignCheckpoint.load(checkpoint_path)
         msa = c.msa
         start_round = c.round
         best = (c.best_mille, c.best_uno)
+        ck_bs = c.block_rows              # the anneal position
+        if c.widen is not None:           # the learned drift ladder
+            ck_widen_state = (c.widen_bs, c.widen,
+                              tuple(int(b) for b in c.exact_blocks))
 
-    if kernel == "auto" or mode == "auto":
+    auto = kernel == "auto" or mode == "auto"
+    if auto:
         import jax
         on_tpu = jax.default_backend() != "cpu"
         if mode == "auto":
@@ -1093,7 +1100,12 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             kernel = ("pallas" if on_tpu and mode == "staircase" else
                       "native" if not on_tpu and mode == "exact" else
                       "xla")
-    bs = block_rows or cfg.block_rows
+    bs = ck_bs or block_rows or cfg.block_rows
+    if bs == 1 and auto:
+        # a run resumed inside the anneal's serial tail: strictly
+        # serial reference semantics run on the host native engine on
+        # every backend (the resident engine's own block-1 route)
+        mode, kernel = "exact", "native"
     resident = (kernel == "pallas" and mode == "staircase"
                 and mesh is None and bs > 1
                 and msa.shape[0] <= BatchedRealigner.PALLAS_MAX_ROWS
@@ -1101,7 +1113,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     if resident:
         from .realigner_device import DeviceResidentRealigner
         eng = DeviceResidentRealigner(msa, bandwidth=cfg.bandwidth,
-                                      block_rows=bs)
+                                      block_rows=bs,
+                                      widen_state=ck_widen_state)
     else:
         eng = BatchedRealigner(msa, bandwidth=cfg.bandwidth,
                                block_rows=bs, mode=mode,
@@ -1117,22 +1130,37 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     # on a device-resident engine each write first DOWNLOADS the MSA
     # through the relay (~1-2 min packed): write at most once per
     # interval — the files are crash recovery, a few minutes of
-    # staleness is fine; the final state is always written on return
-    write_interval = (float(os.environ.get("RR_BEST_WRITE_S", "600"))
-                      if getattr(eng, "SNAPSHOT_COSTLY", False)
-                      else 0.0)
+    # staleness is fine; the final state is always written on return.
+    # Re-evaluated per write: the anneal can respawn the resident
+    # engine into a host engine whose snapshots are cheap.
+    def _write_interval():
+        return (float(os.environ.get("RR_BEST_WRITE_S", "600"))
+                if getattr(eng, "SNAPSHOT_COSTLY", False) else 0.0)
+
     last_write = [-float("inf")]
     write_stale = [False]         # best_msa newer than the last write
 
-    def _write_best(snapshot, pair, rnd):
+    def _eng_state():
+        """Engine state snapshot for the checkpoint: the current block
+        size (anneal position) + the device engine's learned drift
+        ladder, captured on the caller's thread."""
+        ws = getattr(eng, "widen_state", lambda: None)()
+        return (int(eng.block_rows), ws)
+
+    def _write_best(snapshot, pair, rnd, state=(0, None)):
         snapshot = np.asarray(snapshot)   # lazy device snapshots
         if out_path is not None:
             rio.write_msa(out_path, snapshot, upper=True)
         if checkpoint_path is not None:
+            e_bs, ws = state
             ckpt.RealignCheckpoint(
                 msa=snapshot, round=rnd, best_mille=pair[0],
-                best_uno=pair[1],
-                bandwidth=cfg.bandwidth).save(checkpoint_path)
+                best_uno=pair[1], bandwidth=cfg.bandwidth,
+                block_rows=e_bs,
+                widen_bs=ws[0] if ws else 0,
+                widen=ws[1] if ws else None,
+                exact_blocks=np.asarray(ws[2], np.int64) if ws
+                else None).save(checkpoint_path)
 
     def check_improved(write=True):
         nonlocal best, best_msa
@@ -1152,7 +1180,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
             if write and (out_path is not None
                           or checkpoint_path is not None):
                 if time.perf_counter() - last_write[0] \
-                        < write_interval:
+                        < _write_interval():
                     return True
                 # overlap the multi-GB best-MSA write with the next
                 # sweep (numpy encode + file I/O both release the GIL);
@@ -1163,7 +1191,8 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                 last_write[0] = time.perf_counter()
                 write_stale[0] = False
                 writer[0] = threading.Thread(
-                    target=_write_best, args=(best_msa, best, rounds),
+                    target=_write_best,
+                    args=(best_msa, best, rounds, _eng_state()),
                     daemon=True)
                 writer[0].start()
             return True
@@ -1201,7 +1230,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
     if write_stale[0] and best_msa is not None \
             and (out_path is not None or checkpoint_path is not None):
         # a throttled (or final-round) improvement was never written
-        _write_best(best_msa, best, rounds)
+        _write_best(best_msa, best, rounds, _eng_state())
     if stats is not None:
         dt = time.perf_counter() - t0
         stats.update(rounds=rounds, wall_s=dt, dp_cells=cells,

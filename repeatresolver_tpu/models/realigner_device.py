@@ -53,8 +53,13 @@ import numpy as np
 from .realigner import BatchedRealigner, overall_score_pair
 
 MAX_INSERTS_FETCH = 512   # insert slots fetched per block (per sweep
-                          # a row inserts ~0-5 columns; overflow rows
-                          # trigger a full-list refetch)
+                          # a row inserts ~0-5 columns; a row
+                          # overflowing the window is handled like a
+                          # drift violation: the sweep restores its
+                          # start snapshot and redoes with that block
+                          # routed through the exact host fallback,
+                          # whose insert buffer grows on demand —
+                          # override via RR_INS_FETCH)
 
 # Bulk host<->device transfers move in fixed-extent row chunks: the
 # relay wedges (or collapses to ~45 MB/s) on single transfers past
@@ -98,11 +103,15 @@ def _chunk_starts(r: int, cr: int) -> list:
     return starts
 
 
-def _download_rows(dev) -> np.ndarray:
-    """Parallel chunked device->host copy of a 2-D array."""
+def _download_rows(dev, nrows: int | None = None) -> np.ndarray:
+    """Parallel chunked device->host copy of (a row prefix of) a 2-D
+    array. nrows limits the copy to the first rows — the slice happens
+    on device, so the unused capacity tail never crosses the relay."""
     import concurrent.futures as cf
     _, grab, _ = _xfer_jits()
     r, w = dev.shape
+    if nrows is not None:
+        r = min(r, int(nrows))
     itemsize = np.dtype(dev.dtype).itemsize
     cr = max(1, min(r, (_XFER_CHUNK_MB << 20) // max(1, w * itemsize)))
     out = np.empty((r, w), dev.dtype)
@@ -134,12 +143,12 @@ def _unpack_host(packed: np.ndarray, ncols: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _jits(bandwidth: int, chunk: int, widen: int, lpad: int, bq: int,
-          interpret: bool):
+          maxf: int, interpret: bool):
     """Compiled device ops for one (band, chunk, widen, lpad, block)
     combo. The step reads its block's rows and lengths from
     device-resident order arrays (a traced offset — no per-block
     upload) and returns ONE packed int32 fetch buffer
-    [bq*MAX_INSERTS_FETCH insert codes | bq insert counts | drift]:
+    [bq*maxf insert codes | bq insert counts | drift]:
     through the relay every small transfer costs a ~25 ms round trip,
     so the per-block host traffic is exactly one execute and one
     download."""
@@ -219,8 +228,7 @@ def _jits(bandwidth: int, chunk: int, widen: int, lpad: int, bq: int,
             jnp.where(rows_ok, rows, msa_d.shape[0])].set(
             new_rows, mode="drop")
         counts_d = counts_d + delta
-        iyb = (iy[:, :MAX_INSERTS_FETCH] << 2) | ib[
-            :, :MAX_INSERTS_FETCH].astype(jnp.int32)
+        iyb = (iy[:, :maxf] << 2) | ib[:, :maxf].astype(jnp.int32)
         out = jnp.concatenate(
             [iyb.reshape(-1), inn.astype(jnp.int32),
              drift.reshape(1)])
@@ -315,7 +323,7 @@ class DeviceResidentRealigner(BatchedRealigner):
     def __init__(self, msa: np.ndarray, bandwidth: int = 1000,
                  block_rows: int = 64, mode: str = "staircase",
                  chunk: int = 256, kernel: str = "pallas", mesh=None,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, widen_state=None):
         assert mode == "staircase" and kernel == "pallas"
         assert mesh is None and block_rows > 1
         super().__init__(msa, bandwidth=bandwidth,
@@ -327,7 +335,16 @@ class DeviceResidentRealigner(BatchedRealigner):
             interpret = jax.default_backend() == "cpu"
         self._interpret = bool(interpret)
         self._widen = int(os.environ.get("RR_RESIDENT_WIDEN", "12"))
+        self._maxf = int(os.environ.get("RR_INS_FETCH",
+                                        str(MAX_INSERTS_FETCH)))
+        self._overflow_events = 0         # insert-fetch overflows seen
         self._block_widen = None          # per-block adaptive slack
+        self._widen_src_bs = None         # block size _block_widen is
+        #                                   laid out for (survives
+        #                                   checkpoints and respawns)
+        self._widen_state = widen_state   # (src_bs, widen[], exact[])
+        #                                   from a checkpoint/respawn,
+        #                                   adopted lazily
         self._ord_bs = None               # block layout bookkeeping
         self._order_d = self._len_d = None
         self._msa_d = None                # device [R, CPAD] int8
@@ -389,16 +406,37 @@ class DeviceResidentRealigner(BatchedRealigner):
         r = self.msa.shape[0]
         nb = -(-r // bs)
         if self._block_widen is None:
-            # sweep 0 runs everything at the configured slack; every
-            # later block runs one ladder rung above its last measured
-            # drift (_drain adapts) — at paper scale drift sits near
-            # 4.6x chunk, so the adaptive window is ~2.5 kB-wide
-            # instead of the 4 kB worst case: ~1.6x less fill work per
-            # sweep for the same (slack-neutral) result
-            self._block_widen = np.full(nb, self._widen, np.int32)
-        elif len(self._block_widen) != nb:
-            old_bs = self._ord_bs
+            if self._widen_state is not None:
+                # adopt a learned drift ladder from a checkpoint or a
+                # respawn (restart-proofing: a resumed run dispatches
+                # at the learned slack, not the configured worst case)
+                src_bs, w, ex = self._widen_state
+                self._widen_state = None
+                self._block_widen = np.asarray(w, np.int32).copy()
+                self._widen_src_bs = int(src_bs)
+                self._exact_blocks = {int(b) for b in ex}
+            else:
+                # sweep 0 runs everything at the configured slack;
+                # every later block runs one ladder rung above its last
+                # measured drift (_drain adapts) — at paper scale drift
+                # sits near 4.6x chunk, so the adaptive window is
+                # ~2.5 kB-wide instead of the 4 kB worst case: ~1.6x
+                # less fill work per sweep for the same (slack-neutral)
+                # result
+                self._block_widen = np.full(nb, self._widen, np.int32)
+                self._widen_src_bs = bs
+        if self._widen_src_bs != bs or len(self._block_widen) != nb:
+            # re-lay the per-block ladder for a new block size (the
+            # anneal mutates block_rows): each new block inherits the
+            # max slack of the old blocks its rows came from, and
+            # exact-path flags propagate to every new block containing
+            # a flagged row
+            old_bs = self._widen_src_bs
             per_row = np.repeat(self._block_widen, old_bs)[:r]
+            if len(per_row) < r:          # defensive: pad short maps
+                per_row = np.concatenate(
+                    [per_row,
+                     np.full(r - len(per_row), self._widen, np.int32)])
             ex_row = np.zeros(r, bool)
             for b in self._exact_blocks:
                 ex_row[b * old_bs:(b + 1) * old_bs] = True
@@ -411,6 +449,7 @@ class DeviceResidentRealigner(BatchedRealigner):
                     newex.add(bid)
             self._block_widen = neww
             self._exact_blocks = newex
+            self._widen_src_bs = bs
         ordp = np.full(nb * bq, -1, np.int32)
         lenp = np.zeros(nb * bq, np.int32)
         for bid in range(nb):
@@ -440,8 +479,8 @@ class DeviceResidentRealigner(BatchedRealigner):
         if self._msa_d is None:
             return
         self.msa = self._fetch_msa_host()
-        self.counts = np.asarray(self._counts_d)[:self._ncols].astype(
-            np.int64)
+        self.counts = _download_rows(
+            self._counts_d, self._ncols).astype(np.int64)
         self._msa_d = self._counts_d = None
 
     def ent_al_gapper(self):
@@ -474,15 +513,25 @@ class DeviceResidentRealigner(BatchedRealigner):
         if self._msa_d is None:
             validate_counts(self.msa, self.counts)
             return
-        validate_counts(self._fetch_msa_host(), np.asarray(
-            self._counts_d)[:self._ncols].astype(np.int64))
+        validate_counts(self._fetch_msa_host(), _download_rows(
+            self._counts_d, self._ncols).astype(np.int64))
+
+    def widen_state(self):
+        """The learned drift ladder as a checkpointable tuple
+        (src_block_rows, widen[], exact_block_ids[]) — None before the
+        first sweep ever laid it out."""
+        if self._block_widen is None:
+            return self._widen_state
+        return (int(self._widen_src_bs), self._block_widen.copy(),
+                tuple(sorted(self._exact_blocks)))
 
     def respawn(self, msa, block_rows):
         if block_rows > 1:
             return DeviceResidentRealigner(
                 msa, bandwidth=self.bandwidth, block_rows=block_rows,
                 mode=self.mode, chunk=self.chunk, kernel=self.kernel,
-                interpret=self._interpret)
+                interpret=self._interpret,
+                widen_state=self.widen_state())
         # the anneal's block-1 tail is inherently serial: one row per
         # step, reference Gauss-Seidel. On device that is one dispatch
         # per ROW (~9 min/round through the relay); the host native
@@ -508,32 +557,42 @@ class DeviceResidentRealigner(BatchedRealigner):
             return
         if self._msa_d is None:
             self._upload()
+        extra_exact: set = set()   # this sweep only: overflow redos
         for _ in range(8):
             snap_m = self._msa_d + 0      # sweep-start snapshot for
             snap_c = self._counts_d + 0   # the drift-violation redo
             snap_n = self._ncols
-            violations = self._try_sweep()
+            violations = self._try_sweep(extra_exact)
             if not violations:
                 return
-            # some blocks' column-path drift exceeded their staircase
-            # slack: restore the sweep-start state and redo. Blocks
-            # whose drift any ladder rung covers were already bumped by
-            # _drain's adaptation and retry on the (wider) staircase;
-            # the rest (short fragments spread over wide spans drift
-            # arbitrarily) route through the exact host fallback — the
-            # same ladder-overflow split the host engine makes
-            # (realigner._realign_block)
+            # some blocks violated their dispatch contract: restore the
+            # sweep-start state and redo. Drift violations whose drift
+            # any ladder rung covers were already bumped by _drain's
+            # adaptation and retry on the (wider) staircase; the rest
+            # (short fragments spread over wide spans drift
+            # arbitrarily) route through the exact host fallback
+            # permanently — the same ladder-overflow split the host
+            # engine makes (realigner._realign_block). Insert-fetch
+            # overflows (sentinel -1) route through the exact fallback
+            # for THIS sweep only (its insert buffer grows on demand);
+            # insert pressure is transient, so the block returns to the
+            # fast path next sweep.
             self._msa_d, self._counts_d = snap_m, snap_c
             self._ncols = snap_n
             lad_max = BatchedRealigner.WIDEN_LADDER[-1] * self.chunk
             self._exact_blocks |= {
                 bid for bid, dv in violations.items() if dv > lad_max}
+            extra_exact |= {
+                bid for bid, dv in violations.items() if dv < 0}
         raise RuntimeError("drift fallback did not converge")
 
-    def _try_sweep(self) -> dict:
+    def _try_sweep(self, extra_exact=()) -> dict:
         """One sweep; returns a (possibly empty) {block id: drift}
-        map for blocks whose drift violated their staircase slack (the
-        caller restores and redoes — wider, or on the exact path)."""
+        map for blocks whose drift violated their staircase slack or
+        whose insert list overflowed the fetch window (drift -1); the
+        caller restores and redoes — wider, or on the exact path.
+        extra_exact: block ids routed through the exact fallback for
+        this sweep only (overflow redos)."""
         r = self.msa.shape[0]
         bs = self.block_rows
 
@@ -568,13 +627,13 @@ class DeviceResidentRealigner(BatchedRealigner):
                       flush=True)
             rows = self._ord_host[bid * bq:(bid + 1) * bq]
             bl = self._len_host[bid * bq:(bid + 1) * bq]
-            if bid in self._exact_blocks:
+            if bid in self._exact_blocks or bid in extra_exact:
                 self._exact_block(rows, bl, pending)
             else:
                 lpad = bucket(max(1, int(bl.max())))
                 wd = int(self._block_widen[bid])
                 step = _jits(self.bandwidth, self.chunk, wd,
-                             lpad, bq, self._interpret)
+                             lpad, bq, self._maxf, self._interpret)
                 (self._msa_d, self._counts_d, out) = step(
                     self._msa_d, self._counts_d, self._order_d,
                     self._len_d, np.int32(bid * bq),
@@ -634,14 +693,21 @@ class DeviceResidentRealigner(BatchedRealigner):
         if dv > wd * t:
             violations[bid] = dv
             return
-        inn = out[bqn * MAX_INSERTS_FETCH:bqn * MAX_INSERTS_FETCH
-                  + bqn]
+        maxf = self._maxf
+        inn = out[bqn * maxf:bqn * maxf + bqn]
         if (inn > 0).any():
-            if (inn > MAX_INSERTS_FETCH).any():
-                raise RuntimeError("insert fetch window exceeded; "
-                                   "raise MAX_INSERTS_FETCH")
-            iyb = out[:bqn * MAX_INSERTS_FETCH].reshape(
-                bqn, MAX_INSERTS_FETCH)
+            if (inn > maxf).any():
+                # a row's insert list overflowed the fetch window: the
+                # tail slots never left the device, so the block's
+                # in-place apply lost bases. Treat it like a drift
+                # violation (sentinel -1): the caller restores the
+                # sweep-start snapshot and redoes with this block on
+                # the exact host fallback, whose insert buffer grows
+                # on demand (the documented full-list refetch).
+                self._overflow_events += 1
+                violations[bid] = -1
+                return
+            iyb = out[:bqn * maxf].reshape(bqn, maxf)
             for b, k in enumerate(rows):
                 if k < 0:
                     continue
@@ -670,7 +736,8 @@ class DeviceResidentRealigner(BatchedRealigner):
         rows_old = np.where((rows >= 0)[:, None], rows_old,
                             np.int8(5)).astype(np.int8)
         c = self._ncols
-        counts = np.asarray(self._counts_d)[:c].astype(np.int32)
+        counts = _download_rows(self._counts_d, c).astype(np.int32,
+                                                          copy=False)
         rows_host = np.ascontiguousarray(rows_old[:, :c])
         bs = len(rows)
         lmax = max(1, int(bl.max()))
@@ -690,14 +757,17 @@ class DeviceResidentRealigner(BatchedRealigner):
             res = nat.realign_block(counts, rows_host, seqs, ways,
                                     np.asarray(bl, np.int32),
                                     self.bandwidth, ins_cap=cap)
-            if res is None:
-                raise RuntimeError(
-                    "native lib unavailable for the exact fallback")
-            new_rows, best, iy, ib, inn = res
-            if (inn >= cap).any():
-                cap = max(cap * 2, int(inn.max()) + 1)
-                continue
-            break
+            if res is None or not (res[4] >= cap).any():
+                break
+            cap = max(cap * 2, int(res[4].max()) + 1)
+        if res is not None:
+            new_rows, _best, iy, ib, inn = res
+        else:
+            # the auto path must degrade, not abort (realigner.py's
+            # own principle): without the native lib, run the same
+            # exact-band math through the XLA banded fill + backtrack
+            new_rows, iy, ib, inn = self._exact_block_xla(
+                counts, rows_host, seqs, ways, bl)
         nr_p = np.full((bs, self._cpad), 5, np.int8)
         nr_p[:, :c] = new_rows
         apply_fn = _apply_jit()
@@ -712,11 +782,51 @@ class DeviceResidentRealigner(BatchedRealigner):
                     pending.append((int(iy[b, o]), int(k), o,
                                     int(ib[b, o])))
 
+    def _exact_block_xla(self, counts, rows_host, seqs, ways, bl):
+        """Exact-band realignment through the XLA banded fill +
+        backtrack (ops/banded_realign) — the degrade path when the
+        native host lib is unavailable. Sub-blocked so the unpacked
+        [B, L, W] codes tensor stays inside the HBM budget. Same math
+        as the native engine (both are the reference recurrence,
+        PW_ReAligner.c:1493-1513); insert capacity is the device-wide
+        MAX_INSERTS."""
+        from ..ops import banded_realign as br
+        bs, c = rows_host.shape
+        bh = self.bandwidth // 2
+        lpad = seqs.shape[1]
+        sub = max(1, min(
+            bs, int(self._hbm_budget // max(1,
+                                           2 * lpad * self.bandwidth))))
+        outs = []
+        for s0 in range(0, bs, sub):
+            sl = slice(s0, s0 + sub)
+            lens = np.ascontiguousarray(bl[sl]).astype(np.int32)
+            codes, fband, fanf = br.banded_fill(
+                counts, rows_host[sl], seqs[sl], ways[sl], lens,
+                np.int32(c), bandwidth=self.bandwidth)
+            anf_full = np.maximum(0, ways[sl] - bh).astype(np.int32)
+            last_way = ways[sl][np.arange(len(lens)),
+                                np.maximum(lens - 1, 0)]
+            entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+            new_rows, _best, iy, ib, inn = br.entry_and_backtrack(
+                codes, fband, fanf, seqs[sl], anf_full, entry_bound,
+                lens, np.int32(c), cpad=c, bandwidth=self.bandwidth)
+            outs.append((np.asarray(new_rows)[:, :c], np.asarray(iy),
+                         np.asarray(ib), np.asarray(inn)))
+        new_rows = np.concatenate([o[0] for o in outs])
+        iy = np.concatenate([o[1] for o in outs])
+        ib = np.concatenate([o[2] for o in outs])
+        inn = np.concatenate([o[3] for o in outs])
+        if (inn >= br.MAX_INSERTS).any():
+            raise RuntimeError("insert buffer overflow; raise "
+                               "MAX_INSERTS or use the serial engine")
+        return new_rows, iy, ib, inn
+
     def _flush_device(self, pending, drop_empty: bool) -> None:
         """Sweep-end (or cap-triggered) splice + optional empty-column
         compaction as one device regather; host mirrors updated."""
         import jax.numpy as jnp
-        counts_now = np.asarray(self._counts_d)[:self._ncols]
+        counts_now = _download_rows(self._counts_d, self._ncols)
         c = self._ncols
         if pending:
             pending.sort(key=lambda t: (t[0], t[1], -t[2]))
@@ -788,8 +898,8 @@ class DeviceResidentRealigner(BatchedRealigner):
             jnp.asarray(ig), jnp.asarray(inp), jnp.asarray(irow),
             jnp.asarray(ibase), np.int32(c))
         self._ncols = c_new
-        self.counts = np.asarray(
-            self._counts_d)[:c_new].astype(np.int64)
+        self.counts = _download_rows(
+            self._counts_d, c_new).astype(np.int64)
 
 
 class _LazySnapshot:

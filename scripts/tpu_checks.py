@@ -10,7 +10,11 @@ paths against their CPU/host oracles:
   2. fill-parity   : banded_fill on the device matches the same fill on
                      the CPU backend (the CPU result is itself pinned to
                      the serial oracle by the main suite).
-  3. maxcorr-parity: compute_maxcorrs_device on the device matches the
+  3. resident-parity: DeviceResidentRealigner converges a small MSA on
+                     the chip with a trajectory and final MSA bit-equal
+                     to the host-orchestrated pallas path on the same
+                     chip (the production realign_batched route).
+  4. maxcorr-parity: compute_maxcorrs_device on the device matches the
                      exact host scan within 2e-6 (golden tolerance).
 
 Prints one "PASS <name>" line per check; exits nonzero on mismatch.
@@ -130,6 +134,59 @@ def check_fill_parity():
     print(f"PASS fill-parity ({time.perf_counter() - t0:.1f}s)")
 
 
+def check_resident_parity():
+    """The device-resident engine (compiled, on silicon) must walk the
+    same trajectory as the host-orchestrated pallas path on the same
+    chip: realign a small MSA through both to convergence and assert
+    the per-sweep (mille, uno) pairs and final MSAs are bit-equal.
+    This is the code path realign_batched routes ALL production TPU
+    runs through (realigner.py realign_batched resident branch)."""
+    from repeatresolver_tpu.models import realigner
+    from repeatresolver_tpu.models.realigner_device import (
+        DeviceResidentRealigner,
+    )
+    rng = np.random.default_rng(17)
+    rows, tlen, d = 48, 1500, 0.06
+    template = rng.integers(0, 4, tlen)
+    msa = np.full((rows, tlen), 5, np.int8)
+    for k in range(rows):
+        row = template.copy()
+        muts = rng.random(tlen) < d
+        row[muts] = rng.integers(0, 4, int(muts.sum()))
+        gaps = rng.random(tlen) < 0.08
+        row[gaps] = 4
+        lo = rng.integers(0, tlen // 8)
+        hi = tlen - rng.integers(0, tlen // 8)
+        msa[k, lo:hi] = row[lo:hi]
+    band, chunk, bs, max_sweeps = 256, 128, 16, 8
+    t0 = time.perf_counter()
+
+    def run(eng):
+        eng.ent_al_gapper()
+        log = [eng.overall_pair()]
+        for _ in range(max_sweeps):
+            eng.sweep()
+            log.append(eng.overall_pair())
+            if log[-1] >= log[-2]:
+                break
+        return log
+
+    host = realigner.BatchedRealigner(
+        msa.copy(), bandwidth=band, block_rows=bs, mode="staircase",
+        chunk=chunk, kernel="pallas")
+    log_h = run(host)
+    dev = DeviceResidentRealigner(
+        msa.copy(), bandwidth=band, block_rows=bs, mode="staircase",
+        chunk=chunk, kernel="pallas", interpret=False)
+    log_d = run(dev)
+    dev._sync_host()
+    assert log_h == log_d, (
+        f"resident trajectory != host: {log_d} vs {log_h}")
+    assert np.array_equal(host.msa, dev.msa), "resident MSA != host"
+    print(f"PASS resident-parity ({time.perf_counter() - t0:.1f}s, "
+          f"{len(log_h) - 1} sweeps)")
+
+
 def check_maxcorr_parity():
     from repeatresolver_tpu.config import MaxCorrConfig
     from repeatresolver_tpu.models import maxcorr
@@ -167,6 +224,7 @@ def main():
     check_pallas_parity()
     check_backtrack_parity()
     check_fill_parity()
+    check_resident_parity()
     check_maxcorr_parity()
     print("ALL PASS")
 

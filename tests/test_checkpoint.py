@@ -20,6 +20,31 @@ def test_checkpoint_roundtrip(tmp_path):
         (3, 1, 234, 96)
 
 
+def test_checkpoint_engine_state_roundtrip(tmp_path):
+    """The optional engine-state fields (anneal position + learned
+    drift ladder) survive a save/load; legacy checkpoints without them
+    load with zeros/None."""
+    msa = make_msa(1)
+    p = str(tmp_path / "ck2.npz")
+    widen = np.array([2, 3, 12], np.int32)
+    exact = np.array([1], np.int64)
+    c = ckpt.RealignCheckpoint(msa=msa, round=4, best_mille=0,
+                               best_uno=99, bandwidth=96,
+                               block_rows=8, widen_bs=8, widen=widen,
+                               exact_blocks=exact)
+    c.save(p)
+    c2 = ckpt.RealignCheckpoint.load(p)
+    assert (c2.block_rows, c2.widen_bs) == (8, 8)
+    np.testing.assert_array_equal(c2.widen, widen)
+    np.testing.assert_array_equal(c2.exact_blocks, exact)
+    # without engine state: fields default
+    c3 = ckpt.RealignCheckpoint(msa=msa, round=1, best_mille=0,
+                                best_uno=5, bandwidth=96)
+    c3.save(p)
+    c4 = ckpt.RealignCheckpoint.load(p)
+    assert c4.block_rows == 0 and c4.widen is None
+
+
 def test_realign_resume_matches_fresh(tmp_path):
     msa = make_msa(5)
     cfg = RealignerConfig(bandwidth=96)
