@@ -83,6 +83,15 @@ def _inputs(b=64, l=2048, w=512, c=4096):
     return counts, msa, seqs, ways, lengths, b, l, w, c
 
 
+# the production dispatch shape: a heavy paper-scale block (64 rows x
+# 32k bases, band 1000, staircase chunk 128 at the adapted widen 6 —
+# the configuration runs/paper_tpu realigns with). The small _inputs
+# shape amortizes per-chunk boundary work poorly (16 chunks/row vs
+# 256) and under-reports the kernel by ~2.5x.
+def _paper_inputs():
+    return _inputs(b=64, l=32768, w=1000, c=139264)
+
+
 def measure(backend=None, variant="fill"):
     """variant: 'fill' (XLA exact-band fill), 'pallas' (staircase
     Pallas fill in the production packed time-major layout), 'fused'
@@ -103,13 +112,53 @@ def measure(backend=None, variant="fill"):
 
     from repeatresolver_tpu.ops import banded_realign as br
 
-    counts, msa, seqs, ways, lengths, b, l, w, c = _inputs()
+    paper = variant.startswith("paper_")
+    counts, msa, seqs, ways, lengths, b, l, w, c = (
+        _paper_inputs() if paper else _inputs())
     args = tuple(jax.device_put(jnp.asarray(x))
                  for x in (counts, msa, seqs, ways, lengths))
     on_cpu = jax.default_backend() == "cpu"
     chain = 1 if on_cpu else 4
+    if paper and on_cpu:
+        raise RuntimeError("paper-shape variants are device-only "
+                           "(interpret mode would run hours)")
 
-    if variant == "pallas":
+    if variant == "paper_fill":
+        from repeatresolver_tpu.ops import pallas_realign as pr
+
+        def step(cn):
+            out = pr.staircase_fill_pallas(
+                cn, *args[1:], np.int32(c), bandwidth=w, chunk=128,
+                widen=6, interpret=on_cpu, time_major=True,
+                packed=True)
+            return out[1][0, 0]
+    elif variant == "paper_fused":
+        # the full production TPU dispatch at paper shapes: staircase
+        # Pallas fill (widen 6) + the Pallas walk backtrack — what one
+        # resident block_step runs per block
+        from repeatresolver_tpu.ops import pallas_backtrack as pb
+        from repeatresolver_tpu.ops import pallas_realign as pr
+        from repeatresolver_tpu.ops import staircase_realign as sr
+        t = 128
+        widen = 6
+        anf_full = np.asarray(sr.staircase_anf(ways, lengths, w, t, c))
+        bh = w // 2
+        last_way = ways[np.arange(b), lengths - 1]
+        entry_bound = np.maximum(-1, last_way - bh).astype(np.int32)
+        anf_d = jax.device_put(jnp.asarray(anf_full))
+        eb_d = jax.device_put(jnp.asarray(entry_bound))
+
+        def step(cn):
+            codes, fband, fanf = pr.staircase_fill_pallas(
+                cn, *args[1:], np.int32(c), bandwidth=w, chunk=t,
+                widen=widen, interpret=on_cpu, time_major=True,
+                packed=True)
+            new_rows, best, iy, ib, inn = pb.entry_and_backtrack_pallas(
+                codes, fband, fanf, args[2], anf_d, eb_d, args[4],
+                np.int32(c), cpad=c, bandwidth=w + widen * t, chunk=t,
+                interpret=on_cpu)
+            return new_rows[0, 0].astype(jnp.int32)
+    elif variant == "pallas":
         from repeatresolver_tpu.ops import pallas_realign as pr
 
         def step(cn):
@@ -321,7 +370,7 @@ def _subprocess_rates(backend, variants):
         # subprocess
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
-                             timeout=600 if backend == "cpu" else 2400,
+                             timeout=600 if backend == "cpu" else 3000,
                              env=env)
         for line in res.stdout.splitlines():
             parts = line.split()
@@ -376,7 +425,8 @@ def main():
     backends = {}
     # the session's default backend (tunneled TPU when available)
     dev = _subprocess_rates("default",
-                            ("fill", "pallas", "pallas_fused", "fused"))
+                            ("fill", "pallas", "pallas_fused", "fused",
+                             "paper_fill", "paper_fused"))
     if dev:
         plat = next(iter(dev.values()))[1]
         backends[plat] = {v: round(r) for v, (r, _) in dev.items()}
@@ -404,7 +454,8 @@ def main():
 
     # headline: the best fused (fill+backtrack, what the pipeline runs)
     # production rate on this host; every backend is also reported.
-    prod = ("fused", "pallas", "pallas_fused")
+    prod = ("fused", "pallas", "pallas_fused", "paper_fill",
+            "paper_fused")
     candidates = [d.get(v, 0) for d in backends.values() for v in prod]
     rate = max(candidates) if candidates else 0
     headline_backend = next(

@@ -99,37 +99,44 @@ def _fields(counts, rows_old, seqs, ways, lengths, ncols, w, t,
             lambda fr, ix: jnp.take(fr, ix, axis=0))(fb, idx3).reshape(
             b, nchunks * wv)
 
-    # own symbol (3 bits) | valid<<3 | ok_ins<<4, one int16 plane
+    # valid<<3 | ok_ins<<4, one int16 plane (low bits free)
     ycol = jnp.arange(cp, dtype=jnp.int32)
     vb = ((ycol < ncols).astype(jnp.int16) << 3
           | (((ycol > 0) & (ycol < ncols - 1)).astype(jnp.int16) << 4))
-    flags = (jnp.pad(rows_old.astype(jnp.int16), ((0, 0), (0, pad)),
-                     constant_values=5) | vb[None, :])
-    c4 = jnp.pad(counts.astype(jnp.int16)[:, 0:4].T,
-                 ((0, 0), (0, pad)))                   # [4, CP]
-    c4b = jnp.broadcast_to(c4[:, None, :], (4, b, cp))
+    flags = jnp.broadcast_to(vb[None, :], (b, cp))
+
+    # substitution-cost planes, one per symbol: the full subcost for
+    # placing symbol i at column y with this row's own contribution
+    # removed — sc_i = ns - counts[y, i] + (own == i). Precomputing the
+    # whole expression here lets the kernel's inner step do ONE 4-way
+    # select instead of select + two adds + a compare per lane, and
+    # drops the separate ns stream entirely.
+    def sc(i):
+        sci = (ns - counts.astype(jnp.int32)[None, :, i]
+               + (rows_old == i)).astype(jnp.int16)
+        return bwin(jnp.pad(sci, ((0, 0), (0, pad))))
 
     fields = dict(
         gap=bwin(jnp.pad(gapcost.astype(jnp.int16), ((0, 0), (0, pad)))),
         ins=bwin(jnp.pad(inscost.astype(jnp.int16), ((0, 0), (0, pad)))),
-        ns=bwin(jnp.pad(ns.astype(jnp.int16), ((0, 0), (0, pad)))),
         flags=bwin(flags),
         gy1=bwin(jnp.pad(g, ((0, 0), (0, pad - 1)), mode="edge")),
-        c40=bwin(c4b[0]), c41=bwin(c4b[1]),
-        c42=bwin(c4b[2]), c43=bwin(c4b[3]),
+        sc0=sc(0), sc1=sc(1), sc2=sc(2), sc3=sc(3),
     )
 
-    # per-step scalars in sequence-native [B, Lpad] tiles (a minor dim
-    # of 1 in the old step-major layout forced 128x-padded relayouts)
-    seq_c = seqs.astype(jnp.int32)
-    # per-position reference band start in window-lane space (see
+    # per-step scalars in ONE sequence-native [B, Lpad] int32 tile (a
+    # minor dim of 1 in the old step-major layout forced 128x-padded
+    # relayouts; packing seq and lob into one plane halves the per-step
+    # masked lane-reduce): comb = lob << 2 | seq.
+    # lob: per-position reference band start in window-lane space (see
     # staircase_realign: candidates outside [way-bh, way-bh+w) must be
     # masked; the widened window is drift slack, not extra band)
     lob = (jnp.maximum(0, ways - bh).reshape(b, nchunks, t)
            - a_chunks[:, :, None]).astype(jnp.int32).reshape(b, lpad)
+    comb = (lob << 2) | seqs.astype(jnp.int32)
 
     return dict(fields=fields, aint=a_chunks.astype(jnp.int32),
-                seq=seq_c, lob=lob,
+                comb=comb,
                 lengths=jnp.asarray(lengths, jnp.int32).reshape(b, 1),
                 nchunks=nchunks, w2=w2, wv=wv, lpad=lpad, a=a_chunks)
 
@@ -160,17 +167,16 @@ def _lshift(x, amt, fill, max_amt=128):
     return x
 
 
-def _kernel(w, packed, gap_ref, ins_ref, ns_ref, flags_ref, gy1_ref,
-            c40_ref, c41_ref, c42_ref, c43_ref, aint_ref, seq_ref,
-            lob_ref, len_ref, codes_ref, bandout_ref, band, gtop_c):
+def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
+            sc0_ref, sc1_ref, sc2_ref, sc3_ref, aint_ref, comb_ref,
+            len_ref, codes_ref, bandout_ref, band, gtop_c):
     ci = pl.program_id(1)
-    t = seq_ref.shape[1]
+    t = comb_ref.shape[1]
     w2 = band.shape[1]
     BR = band.shape[0]          # rows per program (<= module BR)
 
     lengths = len_ref[:, 0]
-    seq_all = seq_ref[:, :]                             # [BR, T]
-    lob_all = lob_ref[:, :]
+    comb_all = comb_ref[:, :]                           # [BR, T]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (BR, t), 1)
     # per-row unaligned window start for this and the previous chunk,
     # via masked lane-reduce over the register-resident [BR, NC] tile
@@ -193,15 +199,13 @@ def _kernel(w, packed, gap_ref, ins_ref, ns_ref, flags_ref, gy1_ref,
 
     gap_w = unal(gap_ref, 0)                            # [BR, W2]
     ins_w = unal(ins_ref, 0)
-    ns_w = unal(ns_ref, 0)
-    flags = unal(flags_ref, 5)
-    own_w = flags & 7
+    flags = unal(flags_ref, 0)
     valid = (flags & 8) != 0
     ok_ins = (flags & 16) != 0
-    c4_0 = unal(c40_ref, 0)
-    c4_1 = unal(c41_ref, 0)
-    c4_2 = unal(c42_ref, 0)
-    c4_3 = unal(c43_ref, 0)
+    sc_0 = unal(sc0_ref, 0)
+    sc_1 = unal(sc1_ref, 0)
+    sc_2 = unal(sc2_ref, 0)
+    sc_3 = unal(sc3_ref, 0)
     # gy1[j] = g[a + 1 + j]: the aligned int32 stream shifted by s + 1
     # in one dynamic pass (a static offset-1 slice afterwards would
     # leave a lane-offset vpad that downstream concats reject)
@@ -247,19 +251,18 @@ def _kernel(w, packed, gap_ref, ins_ref, ns_ref, flags_ref, gy1_ref,
     def step(tt, carry):
         bcur, word = carry
         x = ci * t + tt
-        # per-step scalars: masked lane-reduce over the register-
-        # resident [BR, T] tiles
+        # per-step scalars: ONE masked lane-reduce over the register-
+        # resident packed [BR, T] tile (comb = lob << 2 | seq)
         step_sel = lane_t == tt
-        s = jnp.sum(jnp.where(step_sel, seq_all, 0),
-                    axis=1, keepdims=True)              # [BR, 1]
-        lo = jnp.sum(jnp.where(step_sel, lob_all, 0),
+        cm = jnp.sum(jnp.where(step_sel, comb_all, 0),
                      axis=1, keepdims=True)             # [BR, 1]
+        s = cm & 3
+        lo = cm >> 2
         inband = (lane_w2 >= lo) & (lane_w2 < lo + w)
-        csel = jnp.where(
-            s == 0, c4_0,
-            jnp.where(s == 1, c4_1,
-                      jnp.where(s == 2, c4_2, c4_3)))
-        subcost = ns_w - (csel - (own_w == s))
+        subcost = jnp.where(
+            s == 0, sc_0,
+            jnp.where(s == 1, sc_1,
+                      jnp.where(s == 2, sc_2, sc_3)))
         first = x == 0
         diag_prev = jnp.where(
             first, 0,
@@ -341,11 +344,10 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         functools.partial(_kernel, w, packed),
         grid=grid,
         in_specs=[
-            win, win, win, win, win,                 # gap ins ns fl gy1
-            win, win, win, win,                      # c40..c43
+            win, win, win, win,                      # gap ins fl gy1
+            win, win, win, win,                      # sc0..sc3
             bs((br_, nc), lambda bg, ci: (bg, 0)),            # aint
-            bs((br_, t), lambda bg, ci: (bg, ci)),            # seq
-            bs((br_, t), lambda bg, ci: (bg, ci)),            # lob
+            bs((br_, t), lambda bg, ci: (bg, ci)),            # comb
             bs((br_, 1), lambda bg, ci: (bg, 0)),             # lengths
         ],
         out_specs=[
@@ -367,9 +369,9 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(f["gap"], f["ins"], f["ns"], f["flags"], f["gy1"],
-      f["c40"], f["c41"], f["c42"], f["c43"],
-      wd["aint"], wd["seq"], wd["lob"], wd["lengths"])
+    )(f["gap"], f["ins"], f["flags"], f["gy1"],
+      f["sc0"], f["sc1"], f["sc2"], f["sc3"],
+      wd["aint"], wd["comb"], wd["lengths"])
 
     if time_major:
         codes = codes.reshape(nc * tc, b, w2)
