@@ -479,6 +479,14 @@ class BatchedRealigner:
                                 block_rows=block_rows, mode=self.mode,
                                 kernel=self.kernel, mesh=self.mesh)
 
+    def shrink(self, block_rows: int):
+        """Adopt a smaller Jacobi block size in place (the anneal's
+        non-restore branch). Engines may return a replacement — the
+        device-resident subclass hands small blocks to the host native
+        engine, whose per-block cost has no dispatch latency."""
+        self.block_rows = block_rows
+        return self
+
     def sweep(self) -> None:
         from ..ops import banded_realign as br
         r = self.msa.shape[0]
@@ -1101,10 +1109,13 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                       "native" if not on_tpu and mode == "exact" else
                       "xla")
     bs = ck_bs or block_rows or cfg.block_rows
-    if bs == 1 and auto:
-        # a run resumed inside the anneal's serial tail: strictly
-        # serial reference semantics run on the host native engine on
-        # every backend (the resident engine's own block-1 route)
+    if auto and ck_bs and ck_bs < 32:
+        # a run resumed inside the anneal's tail (small blocks; 1 =
+        # the reference's strictly serial Gauss-Seidel): host native
+        # engine on every backend — the same handoff the resident
+        # engine's shrink() makes (realigner_device.RESIDENT_MIN_BS)
+        mode, kernel = "exact", "native"
+    elif bs == 1 and auto:
         mode, kernel = "exact", "native"
     resident = (kernel == "pallas" and mode == "staircase"
                 and mesh is None and bs > 1
@@ -1220,7 +1231,7 @@ def realign_batched(msa: np.ndarray, cfg: RealignerConfig,
                     # the checkpointed best — polish from the best
                     eng = eng.respawn(np.asarray(best_msa).copy(), nb)
                 else:
-                    eng.block_rows = nb
+                    eng = eng.shrink(nb)
                 continue
             break
     eng.ent_al_gapper()

@@ -525,23 +525,40 @@ class DeviceResidentRealigner(BatchedRealigner):
         return (int(self._widen_src_bs), self._block_widen.copy(),
                 tuple(sorted(self._exact_blocks)))
 
+    # below this block size the anneal hands the run to the host
+    # native engine: a resident sweep pays per-block dispatch latency
+    # (fetch round trips, donation bookkeeping) that is amortized at
+    # production block sizes but dominates at small ones — measured on
+    # the paper dataset, a block-16 resident sweep runs ~6x slower
+    # than the host native engine's. Block-k exact band and block-k
+    # staircase (with covering slack) are the same math over the same
+    # length-sorted Jacobi blocks, so the trajectory contract is
+    # unchanged (kernel-independence asserted by
+    # tests/test_batched_realigner.py).
+    RESIDENT_MIN_BS = int(os.environ.get("RR_RESIDENT_MIN_BS", "32"))
+
+    def _host_engine(self, msa, block_rows):
+        return BatchedRealigner(msa, bandwidth=self.bandwidth,
+                                block_rows=block_rows, mode="exact",
+                                kernel="native")
+
     def respawn(self, msa, block_rows):
-        if block_rows > 1:
+        if block_rows >= self.RESIDENT_MIN_BS:
             return DeviceResidentRealigner(
                 msa, bandwidth=self.bandwidth, block_rows=block_rows,
                 mode=self.mode, chunk=self.chunk, kernel=self.kernel,
                 interpret=self._interpret,
                 widen_state=self.widen_state())
-        # the anneal's block-1 tail is inherently serial: one row per
-        # step, reference Gauss-Seidel. On device that is one dispatch
-        # per ROW (~9 min/round through the relay); the host native
-        # engine does the identical exact-band serial sweep at ~6e8
-        # cells/s — block-1 staircase and block-1 exact are the same
-        # reference walk (window covers the band), so the trajectory
-        # contract is unchanged (tests/test_realigner_device.py)
-        return BatchedRealigner(msa, bandwidth=self.bandwidth,
-                                block_rows=1, mode="exact",
-                                kernel="native")
+        # the anneal's tail (small blocks, block 1 = the reference's
+        # strictly serial Gauss-Seidel) runs on the host native engine
+        return self._host_engine(msa, block_rows)
+
+    def shrink(self, block_rows):
+        if block_rows >= self.RESIDENT_MIN_BS:
+            self.block_rows = block_rows
+            return self
+        self._sync_host()
+        return self._host_engine(self.msa, block_rows)
 
     # ------------------------------------------------------- the sweep
 

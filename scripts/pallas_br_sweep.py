@@ -25,7 +25,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 from repeatresolver_tpu.ops import pallas_realign as pr
 
-b, l, w, c, t = {b}, {l}, {w}, {c}, {t}
+b, l, w, c, t, widen = {b}, {l}, {w}, {c}, {t}, {widen}
 rng = np.random.default_rng(0)
 msa = rng.integers(0, 4, (b, c)).astype(np.int8)
 counts = np.zeros((c, 6), np.int32)
@@ -41,7 +41,8 @@ args = tuple(jax.device_put(jnp.asarray(x))
 
 def run():
     out = pr.staircase_fill_pallas(*args, np.int32(c), bandwidth=w,
-                                   chunk=t, time_major=True, packed=True)
+                                   chunk=t, widen=widen,
+                                   time_major=True, packed=True)
     return int(np.asarray(out[1][0, 0]))
 
 run(); run()
@@ -60,6 +61,9 @@ def main():
     ap.add_argument("--c", type=int, default=4096)
     ap.add_argument("--brs", default="8,16,32,64")
     ap.add_argument("--chunks", default="128")
+    ap.add_argument("--widen", type=int, default=1,
+                    help="staircase slack rungs (production paper "
+                         "dispatches run ~6)")
     args = ap.parse_args()
 
     results = []
@@ -70,7 +74,8 @@ def main():
             env = dict(os.environ)
             env["RR_PALLAS_BR"] = str(br)
             code = SNIPPET.format(repo=REPO, b=args.b, l=args.l,
-                                  w=args.w, c=args.c, t=t)
+                                  w=args.w, c=args.c, t=t,
+                                  widen=args.widen)
             res = subprocess.run([sys.executable, "-c", code], env=env,
                                  capture_output=True, text=True,
                                  timeout=560)

@@ -262,11 +262,22 @@ def test_widen_state_adopted_and_converted():
     expect = [per_row[i:i + bs // 2].max()
               for i in range(0, r, bs // 2)]
     np.testing.assert_array_equal(b2._block_widen, expect)
-    # respawn carries the ladder
-    b3 = eng.respawn(msa.copy(), bs // 2)
-    b3._upload()
-    b3._ensure_order_device()
-    np.testing.assert_array_equal(b3._block_widen, expect)
+    # respawn carries the ladder (threshold lowered so the respawn
+    # stays resident at this toy block size; production sub-threshold
+    # respawns hand off to the host native engine instead)
+    old_min = DeviceResidentRealigner.RESIDENT_MIN_BS
+    DeviceResidentRealigner.RESIDENT_MIN_BS = 2
+    try:
+        b3 = eng.respawn(msa.copy(), bs // 2)
+        b3._upload()
+        b3._ensure_order_device()
+        np.testing.assert_array_equal(b3._block_widen, expect)
+    finally:
+        DeviceResidentRealigner.RESIDENT_MIN_BS = old_min
+    # sub-threshold respawn hands off to the host native engine
+    b4 = eng.respawn(msa.copy(), bs // 2)
+    assert type(b4) is realigner.BatchedRealigner
+    assert (b4.mode, b4.kernel) == ("exact", "native")
 
 
 def test_resume_keeps_learned_ladder(tmp_path):
