@@ -424,8 +424,16 @@ class BatchedRealigner:
             kernel == "pallas" else chunk
         self.kernel = kernel
         self._pending: list | None = None   # sweep-deferred inserts
-        self._flush_cap = 16384             # max batched inserts
         import os
+        # max batched inserts before a mid-sweep flush. A memory knob,
+        # not math — but a sweep that crosses it flushes mid-sweep,
+        # which changes the block>1 Jacobi trajectory (later blocks of
+        # the sweep see the spliced geometry), and the device-resident
+        # engine's flush points/drops differ from the host's (see
+        # realigner_device._try_sweep). Parity gates that assert
+        # host==device trajectories on insert-heavy workloads raise it
+        # (RR_FLUSH_CAP) so both paths flush exactly once per sweep.
+        self._flush_cap = int(os.environ.get("RR_FLUSH_CAP", "16384"))
         self._hbm_budget = int(os.environ.get(
             "RR_DEVICE_HBM_BUDGET", 4 << 30))
 

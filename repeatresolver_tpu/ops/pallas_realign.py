@@ -169,7 +169,7 @@ def _lshift(x, amt, fill, max_amt=128):
 
 def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
             sc0_ref, sc1_ref, sc2_ref, sc3_ref, aint_ref, comb_ref,
-            len_ref, codes_ref, bandout_ref, band, gtop_c):
+            len_ref, codes_ref, bandout_ref, band, gtop_c, bdiag_c):
     ci = pl.program_id(1)
     t = comb_ref.shape[1]
     w2 = band.shape[1]
@@ -216,6 +216,7 @@ def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
     @pl.when(ci == 0)
     def _():
         band[:, :] = jnp.zeros((BR, w2), jnp.int32)
+        bdiag_c[:, :] = jnp.full((BR, 1), BIG, jnp.int32)
 
     @pl.when(ci > 0)
     def _():
@@ -228,6 +229,18 @@ def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
         # gtop carry: gp[a_prev + w2] is the last element of the
         # PREVIOUS chunk's gy1 window, saved below at every cell
         jadd = gy1_w - gtop_c[:, :]                     # [BR, W2]
+        iot = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
+        # diagonal carry across the boundary (same rule as the XLA
+        # staircase, see staircase_realign): the diag predecessor of
+        # the new window's lane 0 is OLD window lane d-1, discarded by
+        # the left-shift. gp[a] = gy1[0] - gapcost[a].
+        g0 = gy1_w[:, 0:1] - gap_w[:, 0:1]
+        old_dm1 = jnp.sum(jnp.where(iot == d_all - 1, bcur, 0),
+                          axis=1, keepdims=True)        # [BR, 1]
+        bjump0 = lastcol + (g0 - gtop_c[:, :])
+        bdiag_c[:, :] = jnp.where(
+            d_all == 0, BIG,
+            jnp.where(d_all - 1 >= w2, bjump0, old_dm1))
         # per-row left-shift by d via binary decomposition of d into
         # static shifts; bits >= w2 need no shift arm — every lane
         # with iot + d >= w2 is jump-filled below regardless
@@ -239,7 +252,6 @@ def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
                  jnp.full((BR, k), BIG, jnp.int32)], axis=1)
             shifted = jnp.where((d_all & k) != 0, sh, shifted)
             k *= 2
-        iot = jax.lax.broadcasted_iota(jnp.int32, (BR, w2), 1)
         jump = lastcol + jadd
         band[:, :] = jnp.where(iot + d_all >= w2, jump, shifted)
 
@@ -264,9 +276,12 @@ def _kernel(w, packed, gap_ref, ins_ref, flags_ref, gy1_ref,
             jnp.where(s == 1, sc_1,
                       jnp.where(s == 2, sc_2, sc_3)))
         first = x == 0
+        # lane 0's diag predecessor: BIG in-chunk (col a-1 is below
+        # the window), the boundary carry on the chunk's first step
+        lane0 = jnp.where(tt == 0, bdiag_c[:, :], big_col)
         diag_prev = jnp.where(
             first, 0,
-            jnp.concatenate([big_col, bcur[:, :-1]], axis=1))
+            jnp.concatenate([lane0, bcur[:, :-1]], axis=1))
         up_prev = jnp.where(first, 0, bcur)
         diag = diag_prev + subcost
         av = jnp.minimum(diag, jnp.where(ok_ins, up_prev + ins_w, BIG))
@@ -362,6 +377,7 @@ def staircase_fill_pallas(counts, rows_old, seqs, ways, lengths, ncols,
         scratch_shapes=[
             pltpu.VMEM((br_, w2), jnp.int32),           # band state
             pltpu.VMEM((br_, 1), jnp.int32),            # gtop carry
+            pltpu.VMEM((br_, 1), jnp.int32),            # boundary diag
         ],
         # paper shapes (band 1000, widen 4 -> w2 1512, chunk 128)
         # need ~35 MB of scoped VMEM — past XLA's 16 MB default;

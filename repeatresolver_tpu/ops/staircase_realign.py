@@ -113,9 +113,27 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
         jidx = arange_w2[None, :] + d[:, None]
         gtop = jax.vmap(lambda r, s: r[s])(gp, prev_a + w2)
         jump = band[:, w2 - 1:w2] + (gy1_w - gtop[:, None])
+        # diagonal carry across the boundary: the exact band's diag
+        # predecessor of the new window's lane 0 (col a) is col a-1 at
+        # x0-1 = OLD window lane d-1, which the left-shift discards
+        # (banded_realign reads it as j = iota + d - 1 every step).
+        # Without it a path hugging the band bottom at a chunk
+        # boundary is lost and the staircase finds a worse rewrite —
+        # with it, every in-band cell equals the exact-band value, so
+        # staircase trajectories are chunk- and widen-invariant and
+        # bit-equal to exact mode (test_staircase_matches_exact_*).
+        g0 = gy1_w[:, 0:1] - gap_w[:, 0:1]               # gp[a]
+        old_dm1 = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (1,)))(
+            prev_ext, jnp.clip(d - 1, 0, w2 + 1))
+        bjump0 = band[:, w2 - 1:w2] + (g0 - gtop[:, None])
+        bdiag = jnp.where(d[:, None] == 0, BIG,
+                          jnp.where(d[:, None] - 1 >= w2, bjump0,
+                                    old_dm1))
         band = jnp.where(jidx >= w2, jump, shifted)
         first_chunk = ci == 0
         band = jnp.where(first_chunk, 0, band)
+        bdiag = jnp.where(first_chunk, BIG, bdiag)
 
         seq_c = jax.lax.dynamic_slice_in_dim(seqs, ci * t, t, axis=1)
         lob_c = jax.lax.dynamic_slice_in_dim(lob_all, ci * t, t, axis=1)
@@ -137,11 +155,14 @@ def staircase_fill(counts, rows_old, seqs, ways, lengths, ncols, *,
                 c4_w, s[:, None, None], axis=2)[:, :, 0]
             subcost = ns_w - (csel - (own_w == s[:, None]))
             first = x == 0
+            # lane 0's diag predecessor: BIG in-chunk (col a-1 is
+            # below the window), the boundary carry on the chunk's
+            # first step (see bdiag above)
+            lane0 = jnp.where(tt == 0, bdiag,
+                              jnp.full((b, 1), BIG, jnp.int32))
             diag_prev = jnp.where(
                 first, 0,
-                jnp.concatenate(
-                    [jnp.full((b, 1), BIG, jnp.int32), band[:, :-1]],
-                    axis=1))
+                jnp.concatenate([lane0, band[:, :-1]], axis=1))
             up_prev = jnp.where(first, 0, band)
             diag = diag_prev + subcost
             av = jnp.minimum(diag,
